@@ -1,0 +1,88 @@
+package graft.engine
+
+import graft.geom.{RasterGrid, Zone}
+import graft.synth.Synth
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+
+/** Deterministic zone fixtures over the 128×128 test grid
+  * (FIXTURES.md §2) — every representative case the reference's
+  * semantics branch on. Vertices sit on pixel boundaries so no pixel
+  * center ever lies on a zone edge (GDAL tie-break avoidance).
+  */
+object Fixtures {
+  private val gf = new GeometryFactory()
+
+  /** L-shaped (concave) zone in pixel space: the union of
+    * [c0,c1)×[r0,r1) top bar and [c0,cMid)×[r1,r2) stem. */
+  def lshapePx(grid: RasterGrid, fid: Long, group: String, c0: Int, r0: Int,
+      c1: Int, r1: Int, cMid: Int, r2: Int): Zone = {
+    def pt(c: Int, r: Int) =
+      new Coordinate(grid.gt.cornerX(c), grid.gt.cornerY(r))
+    val ring = Array(pt(c0, r0), pt(c1, r0), pt(c1, r1), pt(cMid, r1),
+      pt(cMid, r2), pt(c0, r2), pt(c0, r0))
+    Zone(fid, group, gf.createPolygon(ring))
+  }
+
+  /** Multipolygon of two pixel-space rects (sliver parts for the
+    * fallback's last-part-wins quirk). */
+  def multiPx(grid: RasterGrid, fid: Long, group: String,
+      parts: Seq[(Double, Double, Double, Double)]): Zone = {
+    val polys = parts.map { case (c0, r0, c1, r1) =>
+      val x0 = grid.gt.x0 + c0 * grid.gt.px
+      val x1 = grid.gt.x0 + c1 * grid.gt.px
+      val y0 = grid.gt.y0 + r0 * grid.gt.py
+      val y1 = grid.gt.y0 + r1 * grid.gt.py
+      gf.createPolygon(Array(
+        new Coordinate(math.min(x0, x1), math.min(y0, y1)),
+        new Coordinate(math.max(x0, x1), math.min(y0, y1)),
+        new Coordinate(math.max(x0, x1), math.max(y0, y1)),
+        new Coordinate(math.min(x0, x1), math.max(y0, y1)),
+        new Coordinate(math.min(x0, x1), math.min(y0, y1))))
+    }
+    Zone(fid, group, gf.createMultiPolygon(polys.toArray))
+  }
+
+  /** The standard zone set: disjoint same-group rects (rollup),
+    * overlapping different-group rects (pair-join), numeric-string
+    * groups ("2" vs "10" lexicographic sort), null group, a zone
+    * fully outside the raster, an all-nodata zone, and a concave
+    * L-shape (PIP beyond bbox). */
+  def zonesBasic(grid: RasterGrid): Seq[Zone] = Seq(
+    Synth.rectPx(grid, 1, "alpha", 2, 2, 20, 12),
+    Synth.rectPx(grid, 2, "alpha", 40, 30, 60, 44),
+    Synth.rectPx(grid, 3, "beta", 10, 8, 30, 26),
+    Synth.rectPx(grid, 4, "2", 70, 70, 100, 100),
+    Synth.rectPx(grid, 5, "10", 0, 100, 30, 120),
+    Synth.rectPx(grid, 6, null, 100, 10, 120, 40),
+    Zone.rect(7, "outside", 200.0, 10.0, 210.0, 20.0),
+    Synth.rectPx(grid, 8, "ndonly", 121, 121, 127, 127),
+    lshapePx(grid, 9, "lshape", 80, 8, 96, 16, 88, 32))
+
+  /** DuckDB predicate for membership of pixel (gr, gc) in each basic
+    * zone, keyed by fid — mirrors [[zonesBasic]] exactly. */
+  val zonesBasicSqlMembership: Seq[(Long, String, String)] = Seq(
+    (1L, "alpha", "gc >= 2 AND gc < 20 AND gr >= 2 AND gr < 12"),
+    (2L, "alpha", "gc >= 40 AND gc < 60 AND gr >= 30 AND gr < 44"),
+    (3L, "beta", "gc >= 10 AND gc < 30 AND gr >= 8 AND gr < 26"),
+    (4L, "2", "gc >= 70 AND gc < 100 AND gr >= 70 AND gr < 100"),
+    (5L, "10", "gc >= 0 AND gc < 30 AND gr >= 100 AND gr < 120"),
+    (6L, null, "gc >= 100 AND gc < 120 AND gr >= 10 AND gr < 40"),
+    (8L, "ndonly", "gc >= 121 AND gc < 127 AND gr >= 121 AND gr < 127"),
+    (9L, "lshape", "(gc >= 80 AND gc < 96 AND gr >= 8 AND gr < 16) OR " +
+      "(gc >= 80 AND gc < 88 AND gr >= 16 AND gr < 32)"))
+
+  /** All group labels of [[zonesBasic]] (incl. pixel-less ones) for
+    * the zero-fill left join. */
+  val basicGroupsSql: String =
+    "(VALUES ('alpha'),('beta'),('2'),('10'),(CAST(NULL AS VARCHAR))," +
+      "('outside'),('ndonly'),('lshape'))"
+
+  /** Fallback fixtures: sub-pixel slivers that capture no pixel
+    * center. s1 = single sliver inside pixel (row 10, col 5);
+    * multi = two sliver parts → windows (50,20) then (90,77), the
+    * LAST part's window supplies the scalars (runner.py:783-806). */
+  def zonesFallback(grid: RasterGrid): Seq[Zone] = Seq(
+    multiPx(grid, 1, "s1", Seq((5.3, 10.2, 5.45, 10.4))),
+    multiPx(grid, 2, "multi",
+      Seq((20.2, 50.1, 20.3, 50.2), (77.5, 90.3, 77.9, 90.6))))
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.functions.ImageCodec
+import graft.geom._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-(tile, fid, part) partial over an envelope-fallback window. */
+final case class WinPartial(fid: Long, part: Int, cnt: Long, nodata: Long,
+    mn: Double, mx: Double, sum: Double, sumsq: Double, vals: Array[Float])
+
+/** End-to-end zonal statistics over a tile table — the Spark-native
+  * `fast_zonal_statistics` (`/root/reference/runner.py:264-926`).
+  *
+  * Pipeline: bbox short-circuit → zone simplify(½px) + broadcast index
+  * → tile scan with per-tile partial aggregation (rasterize join
+  * replacement) → per-FID hash agg → unset-FID envelope fallback →
+  * FID→group rollup with gated min/max → exact numpy percentiles →
+  * finalize (population stdev, zero-fill).
+  *
+  * Replicated reference quirks (SURVEY.md §4): center-point
+  * assignment, `np.isclose` nodata, float32 geotransform window math,
+  * fallback WITHOUT point-in-polygon, last-part-wins scalar overwrite
+  * for multipart fallback zones, min/max group merge gated on
+  * fid valid_count>0, population stdev clamped at var>=0.
+  */
+object ZonalEngine {
+
+  /** Final stat column order (reference accumulator insertion order
+    * after `del sumsq`, `runner.py:849-861,917`). */
+  def statFields(percentileKeys: Seq[String]): Seq[String] =
+    Seq("min", "max", "count", "nodata_count", "valid_count", "sum",
+      "stdev") ++ percentileKeys
+
+  /** `p5`, `p2.5`-style keys (`runner.py:291-293`). */
+  def percentileKeys(ps: Seq[Double]): Seq[String] =
+    ps.map(p => if (p.isValidInt) s"p${p.toInt}" else s"p$p")
+
+  /** Normalize a percentile op list the way the reference does
+    * (`runner.py:289-290`): float-parse, dedup, sort. */
+  def normalizePercentiles(ps: Seq[Double]): Seq[Double] =
+    ps.distinct.sorted
+
+  def run(spark: SparkSession, tiles: DataFrame, zonesRaw: Seq[Zone],
+      grid: RasterGrid, nodata: Option[Double],
+      percentilesRaw: Seq[Double] = Nil,
+      simplify: Boolean = true): DataFrame = {
+    val percentiles = normalizePercentiles(percentilesRaw)
+    val pKeys = percentileKeys(percentiles)
+    val collectVals = percentiles.nonEmpty
+
+    // VectorTranslate simplifyTolerance = pixel_width*0.5 (runner.py:349-365)
+    val zones =
+      if (simplify)
+        zonesRaw.map(z => z.copy(geom =
+          Zone.simplifyHalfPixel(z.geom, grid.gt.px)))
+      else zonesRaw
+    val idx = new ZoneIndex(zones.toArray)
+
+    import spark.implicits._
+    val zonesDf = zones.map(z => (z.fid, Option(z.group)))
+      .toDF("fid", "group")
+
+    // bbox short-circuit (runner.py:409-450): zero stats, no tile IO
+    if (!idx.totalEnvelope.intersects(grid.rasterEnvelope)) {
+      return zeroStats(zonesDf, pKeys)
+    }
+
+    val bc = spark.sparkContext.broadcast(idx)
+    val partials = ZonalStats
+      .tilePartials(tiles, bc, grid, nodata, collectVals)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val mainFidStats = ZonalStats.fidStats(partials)
+
+    // ---- unset-FID envelope fallback (runner.py:697-811) ----
+    val presentFids = mainFidStats.select("fid").as[Long].collect().toSet
+    val unset = zones.filter(z => !presentFids.contains(z.fid))
+    val (fallbackStats, fallbackChunks) =
+      if (unset.isEmpty) (None, None)
+      else runFallback(spark, tiles, unset, grid, nodata, collectVals)
+
+    val fidStatsAll = fallbackStats match {
+      case Some(fb) => mainFidStats.unionByName(fb)
+      case None => mainFidStats
+    }
+
+    val chunks =
+      if (!collectVals) None
+      else {
+        val mainChunks = partials.select($"fid", $"vals")
+          .where(size($"vals") > 0)
+        val all = fallbackChunks match {
+          case Some(fc) => mainChunks.unionByName(fc)
+          case None => mainChunks
+        }
+        val withGroup = broadcast(zonesDf)
+          .join(all, Seq("fid")).select("group", "vals")
+        Some((withGroup, percentiles.toArray))
+      }
+
+    val g = ZonalStats.groupStats(fidStatsAll, zonesDf, chunks)
+
+    // expand percentile array into pK columns; order columns
+    val withP =
+      if (pKeys.isEmpty) g
+      else pKeys.zipWithIndex.foldLeft(g) { case (df, (k, i)) =>
+        df.withColumn(k, element_at(col("pcts"), i + 1))
+      }.drop("pcts")
+    withP.select("group", statFields(pKeys): _*)
+  }
+
+  /** Zero-stats frame for the no-intersection path (runner.py:424-450). */
+  private def zeroStats(zonesDf: DataFrame, pKeys: Seq[String]): DataFrame = {
+    var df = zonesDf.select("group").distinct()
+      .withColumn("min", lit(null).cast("double"))
+      .withColumn("max", lit(null).cast("double"))
+      .withColumn("count", lit(0L))
+      .withColumn("nodata_count", lit(0L))
+      .withColumn("valid_count", lit(0L))
+      .withColumn("sum", lit(0.0))
+      .withColumn("stdev", lit(null).cast("double"))
+    pKeys.foreach(k => df = df.withColumn(k, lit(null).cast("double")))
+    df.select("group", statFields(pKeys): _*)
+  }
+
+  /** Envelope-window fallback for zones that captured no pixel:
+    * per PART of each multi-geometry, stats over the WHOLE clamped
+    * envelope window (no PIP — a reference quirk), scalars overwritten
+    * so the LAST nonempty part wins; percentile chunks accumulate
+    * across parts (runner.py:700-811).
+    */
+  private def runFallback(spark: SparkSession, tiles: DataFrame,
+      unset: Seq[Zone], grid: RasterGrid, nodata: Option[Double],
+      collectVals: Boolean): (Option[DataFrame], Option[DataFrame]) = {
+    import spark.implicits._
+
+    val windows: Array[(Long, Int, PixelWindow)] = (for {
+      z <- unset.iterator
+      part <- 0 until z.geom.getNumGeometries
+      env = z.geom.getGeometryN(part).getEnvelopeInternal
+      win = WindowMath.envelopeToWindow(env.getMinX, env.getMaxX,
+        env.getMinY, env.getMaxY, grid.gt, grid.widthPx, grid.heightPx)
+      if !win.isEmpty
+    } yield (z.fid, part, win)).toArray
+    if (windows.isEmpty) return (None, None)
+
+    val bcWin = spark.sparkContext.broadcast(windows)
+    val gridB = grid
+    val nodataB = nodata
+    val cvB = collectVals
+
+    val winPartials = tiles.select("image_id", "bytes", "fmt")
+      .as[(String, Array[Byte], String)]
+      .flatMap { case (id, bytes, fmt) =>
+        fallbackTileKernel(id, bytes, fmt, gridB, bcWin.value, nodataB, cvB)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val agg = winPartials.groupBy("fid", "part").agg(
+      sum("cnt").as("cnt"), sum("nodata").as("nodata"),
+      min("mn").as("mn"), max("mx").as("mx"),
+      sum("sum").as("sum"), sum("sumsq").as("sumsq"))
+      .collect()
+
+    // last-part-wins merge (runner.py:783-806 uses `=`, not `+=`)
+    val byFid = agg.groupBy(_.getLong(0))
+    val rows = byFid.map { case (fid, parts) =>
+      val last = parts.maxBy(_.getInt(1))
+      val cnt = last.getLong(2); val nd = last.getLong(3)
+      val valid = cnt - nd
+      if (valid == 0)
+        (fid, cnt, nd, 0.0, 0.0, 0.0, 0.0) // runner.py:790-794
+      else
+        (fid, cnt, nd, last.getDouble(4), last.getDouble(5),
+          last.getDouble(6), last.getDouble(7))
+    }.toSeq
+    val fbStats = rows.toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+
+    val fbChunks =
+      if (!collectVals) None
+      else Some(winPartials.select($"fid", $"vals")
+        .where(size($"vals") > 0))
+    (Some(fbStats), fbChunks)
+  }
+
+  /** Per-tile kernel of the fallback pass: every pixel of the tile
+    * that falls in a (fid, part) window contributes — no PIP. */
+  def fallbackTileKernel(imageId: String, bytes: Array[Byte], fmt: String,
+      grid: RasterGrid, windows: Array[(Long, Int, PixelWindow)],
+      nodata: Option[Double], collectVals: Boolean): Iterator[WinPartial] = {
+    val (tr, tc) = ZonalStats.parseTileId(imageId)
+    val col0 = tc * grid.tileW; val row0 = tr * grid.tileH
+    val col1 = col0 + grid.tileW - 1; val row1 = row0 + grid.tileH - 1
+    var px: Array[Float] = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[WinPartial]
+
+    var wi = 0
+    while (wi < windows.length) {
+      val (fid, part, win) = windows(wi)
+      val gc0 = math.max(col0, win.xoff)
+      val gc1 = math.min(col1, win.xoff + win.wx - 1)
+      val gr0 = math.max(row0, win.yoff)
+      val gr1 = math.min(row1, win.yoff + win.wy - 1)
+      if (gc0 <= gc1 && gr0 <= gr1) {
+        if (px == null) px = ImageCodec.decode(bytes, fmt)
+        var cnt = 0L; var nd = 0L
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var sum = 0.0; var sumsq = 0.0
+        val vals = if (collectVals)
+          new scala.collection.mutable.ArrayBuffer[Float](16) else null
+        var gr = gr0
+        while (gr <= gr1) {
+          val rowBase = (gr - row0) * grid.tileW - col0
+          var gc = gc0
+          while (gc <= gc1) {
+            val v = px(rowBase + gc)
+            cnt += 1
+            val isNd = nodata.isDefined &&
+              ZonalStats.isCloseTo(v.toDouble, nodata.get)
+            if (isNd) nd += 1
+            else {
+              val vd = v.toDouble
+              if (vd < mn) mn = vd
+              if (vd > mx) mx = vd
+              sum += vd
+              sumsq += (v * v).toDouble
+              if (vals != null) vals += v
+            }
+            gc += 1
+          }
+          gr += 1
+        }
+        out += WinPartial(fid, part, cnt, nd, mn, mx, sum, sumsq,
+          if (vals == null) Array.empty[Float] else vals.toArray)
+      }
+      wi += 1
+    }
+    out.iterator
+  }
+}

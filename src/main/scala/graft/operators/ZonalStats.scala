@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.functions.ImageCodec
+import graft.geom._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator
+import org.locationtech.jts.geom.{Coordinate, Location}
+
+/** Per-(tile, fid) partial statistics — the Spark analogue of the
+  * reference's per-block accumulator update
+  * (`/root/reference/runner.py:640-685`). Pre-aggregating INSIDE the
+  * tile task keeps the 10^12-pixel stream out of the shuffle: only
+  * (#tiles × zones-per-tile) rows shuffle, and Spark's map-side
+  * partial aggregation further collapses them to (#fids × #tasks).
+  *
+  * `mn`/`mx` use ±Infinity sentinels when the tile contributed no
+  * valid pixel (finalized to NULL later, matching the reference's
+  * `None` min/max). `vals` carries the valid float32 pixel values for
+  * the exact-percentile path and is empty when percentiles are off.
+  */
+final case class FidPartial(fid: Long, cnt: Long, nodata: Long,
+    mn: Double, mx: Double, sum: Double, sumsq: Double, vals: Array[Float])
+
+/** Pixel→zone assignment + zonal aggregation over a tile table.
+  *
+  * This is the Spark-native replacement for the reference's rasterize
+  * join (`runner.py:463-469,596-685`): a pixel belongs to a zone iff
+  * its CENTER lies in the polygon interior (= `ALL_TOUCHED=FALSE`).
+  * Zones are broadcast as a [[graft.geom.ZoneIndex]] (STRtree +
+  * point-in-area locators rebuilt once per executor); tiles stream
+  * through a typed flatMap that emits per-(tile,fid) partials.
+  *
+  * Overlapping zones each receive the pixel (pair-join semantics —
+  * the reference's `polygons_might_overlap=True` disjoint-set mode,
+  * `runner.py:479-489`).
+  */
+object ZonalStats {
+
+  /** Parse "tile_RRRR_CCCC" → (tileRow, tileCol). */
+  def parseTileId(id: String): (Int, Int) = {
+    val us1 = id.lastIndexOf('_')
+    val us0 = id.lastIndexOf('_', us1 - 1)
+    (Integer.parseInt(id.substring(us0 + 1, us1)),
+      Integer.parseInt(id.substring(us1 + 1)))
+  }
+
+  def tileId(tr: Int, tc: Int): String = f"tile_${tr}%04d_${tc}%04d"
+
+  /** Per-tile kernel: decode pixels, assign to candidate zones by
+    * pixel-center PIP, emit one partial per touched zone.
+    */
+  // Developer note: the per-zone pixel scan is restricted to the
+  // sub-window of the tile whose pixel CENTERS fall inside the zone's
+  // envelope (bbox prefilter), and a whole-tile containsProperly test
+  // short-circuits the PIP loop for zones that fully cover the tile —
+  // the dominant case for continent-sized zones.
+  def processTile(imageId: String, bytes: Array[Byte], fmt: String,
+      grid: RasterGrid, idx: ZoneIndex, nodata: Option[Double],
+      collectValues: Boolean): Iterator[FidPartial] = {
+    val (tr, tc) = parseTileId(imageId)
+    val env = grid.tileEnvelope(tr, tc)
+    val cands = idx.candidates(env)
+    if (cands.isEmpty) return Iterator.empty
+
+    val px = ImageCodec.decode(bytes, fmt)
+    val col0 = tc * grid.tileW
+    val row0 = tr * grid.tileH
+    val gf = zoneGeomFactory
+    val tileGeom = gf.toGeometry(env)
+    val out = new scala.collection.mutable.ArrayBuffer[FidPartial](cands.length)
+    val c = new Coordinate()
+
+    var ci = 0
+    while (ci < cands.length) {
+      val zi = cands(ci)
+      val zone = idx.zones(zi)
+      val zenv = zone.geom.getEnvelopeInternal
+      // pixel-center range inside zone-envelope ∩ tile
+      val (zc0, zc1) = grid.centerColRange(zenv.getMinX, zenv.getMaxX)
+      val (zr0, zr1) = grid.centerRowRange(zenv.getMinY, zenv.getMaxY)
+      val gc0 = math.max(zc0, col0); val gc1 = math.min(zc1, col0 + grid.tileW - 1)
+      val gr0 = math.max(zr0, row0); val gr1 = math.min(zr1, row0 + grid.tileH - 1)
+      if (gc0 <= gc1 && gr0 <= gr1) {
+        val fullTile = gc0 == col0 && gc1 == col0 + grid.tileW - 1 &&
+          gr0 == row0 && gr1 == row0 + grid.tileH - 1
+        val coversTile = fullTile && idx.prepared(zi).containsProperly(tileGeom)
+        val locator = if (coversTile) null else idx.locator(zi)
+
+        var cnt = 0L; var nd = 0L
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var sum = 0.0; var sumsq = 0.0
+        val vals = if (collectValues)
+          new scala.collection.mutable.ArrayBuffer[Float](64) else null
+
+        var gr = gr0
+        while (gr <= gr1) {
+          val y = grid.gt.pixelCenterY(gr)
+          val rowBase = (gr - row0) * grid.tileW - col0
+          var gc = gc0
+          while (gc <= gc1) {
+            val inside = coversTile || {
+              c.x = grid.gt.pixelCenterX(gc); c.y = y
+              locator.locate(c) == Location.INTERIOR
+            }
+            if (inside) {
+              val v = px(rowBase + gc)
+              cnt += 1
+              val isNd = nodata.isDefined &&
+                math.abs(v.toDouble - nodata.get) <=
+                  1e-8 + 1e-5 * math.abs(nodata.get)
+              if (isNd) nd += 1
+              else {
+                val vd = v.toDouble
+                if (vd < mn) mn = vd
+                if (vd > mx) mx = vd
+                sum += vd
+                // reference squares in the block dtype (float32) and
+                // accumulates float64 (`runner.py:682-685`)
+                sumsq += (v * v).toDouble
+                if (vals != null) vals += v
+              }
+            }
+            gc += 1
+          }
+          gr += 1
+        }
+        if (cnt > 0) {
+          out += FidPartial(zone.fid, cnt, nd, mn, mx, sum, sumsq,
+            if (vals == null) Array.empty[Float] else vals.toArray)
+        }
+      }
+      ci += 1
+    }
+    out.iterator
+  }
+
+  private val zoneGeomFactory = new org.locationtech.jts.geom.GeometryFactory()
+
+  /** Tile scan → per-(tile,fid) partials. `tiles` must have columns
+    * (image_id, bytes, fmt); projection happens before the flatMap so
+    * parquet column pruning still applies. */
+  def tilePartials(tiles: DataFrame, bc: Broadcast[ZoneIndex],
+      grid: RasterGrid, nodata: Option[Double],
+      collectValues: Boolean): Dataset[FidPartial] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select("image_id", "bytes", "fmt")
+      .as[(String, Array[Byte], String)]
+      .flatMap { case (id, bytes, fmt) =>
+        processTile(id, bytes, fmt, grid, bc.value, nodata, collectValues)
+      }
+  }
+
+  /** Per-FID statistics (the reference's `aggregate_stats` dict,
+    * `runner.py:491-500`). Algebraic — Spark's partial aggregation
+    * merges map-side, so zone-size skew does not concentrate pixel
+    * rows on one reducer. */
+  def fidStats(partials: Dataset[FidPartial]): DataFrame = {
+    partials.groupBy("fid").agg(
+      sum("cnt").as("cnt"),
+      sum("nodata").as("nodata"),
+      min("mn").as("mn"),
+      max("mx").as("mx"),
+      sum("sum").as("sum"),
+      sum("sumsq").as("sumsq"))
+  }
+
+  /** FID→group rollup + finalize (`runner.py:848-917`):
+    * sums/counts add unconditionally; min/max merge only from fids
+    * with valid_count > 0; population stdev from sum/sumsq with
+    * variance clamped at 0; every group present in the zone table
+    * appears (zero-filled) even with no pixels.
+    *
+    * `zonesDf` is (fid, group) — broadcast by size. `chunks` is the
+    * optional (fid, vals) stream feeding exact group percentiles.
+    */
+  def groupStats(fidStatsDf: DataFrame, zonesDf: DataFrame,
+      chunks: Option[(DataFrame, Array[Double])]): DataFrame = {
+    // Inner join fid→group: zones broadcast (BuildRight is supported
+    // for inner joins); fids with no stats are restored by the
+    // zero-fill below, which adds exactly the zeros the reference's
+    // defaultdict touch adds (runner.py:813-815) — sums/counts are
+    // unaffected and min/max are gated on valid_count anyway.
+    val joined = fidStatsDf.join(broadcast(zonesDf), Seq("fid"))
+    val validFid = col("cnt") - col("nodata")
+    var g = joined.groupBy("group").agg(
+      sum(col("cnt")).as("count"),
+      sum(col("nodata")).as("nodata_count"),
+      sum(col("sum")).as("sum"),
+      sum(col("sumsq")).as("sumsq"),
+      min(when(validFid > 0, col("mn"))).as("min"),
+      max(when(validFid > 0, col("mx"))).as("max"))
+
+    chunks.foreach { case (chunkDf, ps) =>
+      val agg = udaf(new PercentileAgg(ps))
+      // rename the join key: both frames descend from zonesDf's group
+      // attribute, and a same-lineage <=> join resolves ambiguously.
+      // null-safe join: a NULL group value is a real group
+      // (runner.py:981-985).
+      val pcts = chunkDf.groupBy("group")
+        .agg(agg(col("vals")).as("pcts"))
+        .withColumnRenamed("group", "p_group")
+      g = g.join(pcts, col("group") <=> col("p_group"), "left_outer")
+        .drop("p_group")
+    }
+
+    // zero-fill: every group in the zone table appears (runner.py:424-450,
+    // 813-815). Both sides are group-cardinality small.
+    val groupsDf = zonesDf.select("group").distinct()
+    val gRen = g.withColumnRenamed("group", "g_group")
+    val filled = groupsDf.join(gRen, col("group") <=> col("g_group"),
+        "left_outer")
+      .drop("g_group")
+      .withColumn("count", coalesce(col("count"), lit(0L)))
+      .withColumn("nodata_count", coalesce(col("nodata_count"), lit(0L)))
+      .withColumn("sum", coalesce(col("sum"), lit(0.0)))
+      .withColumn("sumsq", coalesce(col("sumsq"), lit(0.0)))
+
+    val valid = col("count") - col("nodata_count")
+    val mean = col("sum") / valid
+    val variance = greatest(col("sumsq") / valid - mean * mean, lit(0.0))
+    filled.withColumn("valid_count", valid)
+      .withColumn("stdev", when(valid > 0, sqrt(variance)))
+      .withColumn("min", when(valid > 0, col("min")))
+      .withColumn("max", when(valid > 0, col("max")))
+      .drop("sumsq")
+  }
+
+  /** numpy-default isclose, shared by kernel and fallback. */
+  def isCloseTo(v: Double, target: Double): Boolean =
+    math.abs(v - target) <= 1e-8 + 1e-5 * math.abs(target)
+}

@@ -1,0 +1,94 @@
+package graft.synth
+
+import graft.functions.{ImageCodec, XXHash64}
+import graft.geom.{GeoTransform, RasterGrid, Zone}
+import graft.operators.ZonalStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One synthesized tile row — exactly the BASELINE.json input_hint
+  * schema: (image_id, bytes, w, h, fmt, caption, phash). */
+final case class TileRow(image_id: String, bytes: Array[Byte], w: Int,
+    h: Int, fmt: String, caption: String, phash: Long)
+
+/** Deterministic tile-table + zone synthesis (FIXTURES.md). No RNG,
+  * no wall-clock: every value is a pure function of (row, col), so
+  * runs are byte-stable and resume/re-run tests can compare outputs
+  * exactly. The same generator scales from the 16k-pixel unit grid to
+  * the multi-million-pixel bench grid.
+  */
+object Synth {
+
+  /** Unit-test grid: whole world as 128×128 px in 8×8 tiles of 16². */
+  val testGrid: RasterGrid = RasterGrid(
+    GeoTransform(-180.0, 2.8125, 0.0, 90.0, 0.0, -1.40625),
+    widthPx = 128, heightPx = 128, tileW = 16, tileH = 16)
+
+  val Nodata: Float = -9999.0f
+
+  /** Pixel value at global (row, col): small-integer field with a
+    * sparse nodata lattice and a solid nodata block in the south-east
+    * corner (relative to a 128-unit pattern period so every grid size
+    * has all features). Integer-valued by construction → float32,
+    * float64, DuckDB and Spark all agree bit-exactly. */
+  def value(gr: Int, gc: Int): Float = {
+    val pr = gr % 128; val pc = gc % 128
+    if (pr >= 120 && pc >= 120) Nodata
+    else if ((gr * 7 + gc * 13) % 23 == 0) Nodata
+    else ((gr * 31 + gc * 17) % 97).toFloat
+  }
+
+  /** DuckDB SQL expression computing [[value]] for columns gr/gc. */
+  def valueSql(gr: String = "gr", gc: String = "gc"): String =
+    s"CASE WHEN ($gr % 128) >= 120 AND ($gc % 128) >= 120 THEN -9999.0 " +
+      s"WHEN (($gr*7 + $gc*13) % 23) = 0 THEN -9999.0 " +
+      s"ELSE CAST((($gr*31 + $gc*17) % 97) AS DOUBLE) END"
+
+  def tilePixels(grid: RasterGrid, tr: Int, tc: Int): Array[Float] = {
+    val px = new Array[Float](grid.tileW * grid.tileH)
+    var i = 0
+    while (i < px.length) {
+      px(i) = value(tr * grid.tileH + i / grid.tileW,
+        tc * grid.tileW + i % grid.tileW)
+      i += 1
+    }
+    px
+  }
+
+  def makeTile(grid: RasterGrid, tr: Int, tc: Int, fmt: String): TileRow = {
+    val px = tilePixels(grid, tr, tc)
+    val raw = ImageCodec.encodeRaw(px)
+    val bytes = fmt match {
+      case "raw" => raw
+      case "png" => ImageCodec.encodePng(px, grid.tileW, grid.tileH)
+      case "jpg" => ImageCodec.encodeJpg(px, grid.tileW, grid.tileH)
+    }
+    TileRow(ZonalStats.tileId(tr, tc), bytes, grid.tileW, grid.tileH, fmt,
+      s"synthetic tile r$tr c$tc seed42", XXHash64.hash(raw, 42L))
+  }
+
+  /** Distributed synthesis of the full tile table (input_hint schema).
+    * Tiles are generated inside executors from the tile index — the
+    * driver never materializes pixel data, so the same code synthesizes
+    * the bench-scale table. */
+  def tiles(spark: SparkSession, grid: RasterGrid,
+      fmt: String = "raw"): DataFrame = {
+    import spark.implicits._
+    val g = grid
+    val f = fmt
+    spark.range(0, grid.numTiles)
+      .as[Long]
+      .map(i => makeTile(g, (i / g.tilesX).toInt, (i % g.tilesX).toInt, f))
+      .toDF()
+  }
+
+  /** Rect zone addressed in PIXEL space: covers pixel centers with
+    * col in [c0, c1) and row in [r0, r1). Pixel-boundary vertices ⇒
+    * no center ever lies on a zone edge (FIXTURES.md §2). */
+  def rectPx(grid: RasterGrid, fid: Long, group: String,
+      c0: Int, r0: Int, c1: Int, r1: Int): Zone = {
+    val x0 = grid.gt.cornerX(c0); val x1 = grid.gt.cornerX(c1)
+    val y0 = grid.gt.cornerY(r0); val y1 = grid.gt.cornerY(r1)
+    Zone.rect(fid, group, math.min(x0, x1), math.min(y0, y1),
+      math.max(x0, x1), math.max(y0, y1))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters of Spark
+  * 4.x (`org.apache.spark.sql.classic.ExpressionUtils`). Lives in the
+  * `org.apache.spark.sql` package solely to satisfy the access
+  * qualifier — the standard pattern for Catalyst extension libraries.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CodecSpec extends AnyFunSuite {
+  private def samplePx(n: Int): Array[Float] = {
+    val px = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      px(i) = if (i % 23 == 0) -9999.0f else (i * 31 % 97).toFloat
+      i += 1
+    }
+    px
+  }
+
+  test("raw roundtrip is byte-exact") {
+    val px = samplePx(256)
+    val dec = ImageCodec.decodeRaw(ImageCodec.encodeRaw(px))
+    assert(dec.toSeq === px.toSeq)
+  }
+
+  test("png roundtrip is exact for integer values incl nodata") {
+    val px = samplePx(256)
+    val dec = ImageCodec.decodePng(ImageCodec.encodePng(px, 16, 16))
+    assert(dec.toSeq === px.toSeq)
+  }
+
+  test("jpg roundtrip meets the PSNR >= 40 dB gate (input_hint)") {
+    // values in [0,255], smooth field (JPEG-friendly), no nodata
+    val px = new Array[Float](64 * 64)
+    for (r <- 0 until 64; c <- 0 until 64)
+      px(r * 64 + c) = (128 + 100 * math.sin(r / 9.0) *
+        math.cos(c / 11.0)).toFloat.max(0f).min(255f).round.toFloat
+    val dec = ImageCodec.decodeJpg(ImageCodec.encodeJpg(px, 64, 64))
+    val psnr = ImageCodec.psnrDb(px, dec, 255.0)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("xxh64 known vectors") {
+    // public XXH64 test vectors (xxhash spec)
+    assert(XXHash64.hash(Array.emptyByteArray, 0L) === 0xEF46DB3751D8E999L)
+    val abc = "abc".getBytes("UTF-8")
+    assert(XXHash64.hash(abc, 0L) === 0x44BC2CF5AD770999L)
+    // >32-byte input exercises the 4-lane loop
+    val long = ("0123456789abcdef" * 4).getBytes("UTF-8")
+    assert(XXHash64.hash(long, 0L) !== XXHash64.hash(long, 1L))
+    assert(XXHash64.hash(long, 0L) === XXHash64.hash(long.clone(), 0L))
+  }
+
+  test("average hash is deterministic and contrast-sensitive") {
+    val a = samplePx(256)
+    val b = a.map(v => -v)
+    assert(ImageCodec.averageHash(a, 16, 16) ===
+      ImageCodec.averageHash(a.clone(), 16, 16))
+    assert(ImageCodec.averageHash(a, 16, 16) !==
+      ImageCodec.averageHash(b, 16, 16))
+  }
+}

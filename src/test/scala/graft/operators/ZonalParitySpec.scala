@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Fixtures
+import graft.oracle.RefOracle
+import graft.synth.Synth
+import org.apache.spark.sql.DataFrame
+
+/** Engine ⟷ reference-semantics-oracle parity (SURVEY.md §5.1): the
+  * Spark pipeline must reproduce the single-threaded oracle exactly —
+  * doubles compared with `==` (the fixtures are integer-valued so
+  * every implementation agrees bit-for-bit). */
+class ZonalParitySpec extends SparkSpec {
+  private val grid = Synth.testGrid
+
+  private def collectStats(df: DataFrame, pKeys: Seq[String])
+      : Map[Option[String], (Option[Double], Option[Double], Long, Long,
+        Long, Double, Option[Double], Seq[Option[Double]])] =
+    df.collect().map { r =>
+      val g = Option(r.getAs[String]("group"))
+      def d(c: String) = Option(r.getAs[Any](c)).map(_.asInstanceOf[Double])
+      g -> ((d("min"), d("max"), r.getAs[Long]("count"),
+        r.getAs[Long]("nodata_count"), r.getAs[Long]("valid_count"),
+        r.getAs[Double]("sum"), d("stdev"), pKeys.map(d)))
+    }.toMap
+
+  private def oracleStats(zones: Seq[graft.geom.Zone], ps: Seq[Double],
+      simplify: Boolean) =
+    RefOracle.zonalStats(grid, Synth.value, zones, Some(-9999.0), ps,
+      simplify).map { case (g, s) =>
+      g -> ((s.min, s.max, s.count, s.nodataCount, s.validCount, s.sum,
+        s.stdev, s.pcts))
+    }
+
+  private def check(zones: Seq[graft.geom.Zone], ps: Seq[Double],
+      simplify: Boolean = true, fmt: String = "raw"): Unit = {
+    val tiles = Synth.tiles(spark, grid, fmt)
+    val res = ZonalEngine.run(spark, tiles, zones, grid, Some(-9999.0),
+      ps, simplify)
+    val pKeys = ZonalEngine.percentileKeys(
+      ZonalEngine.normalizePercentiles(ps))
+    val got = collectStats(res, pKeys)
+    val exp = oracleStats(zones, ps, simplify)
+    assert(got.keySet === exp.keySet)
+    for (g <- exp.keySet) assert(got(g) === exp(g), s"group=$g")
+  }
+
+  test("basic zones match oracle (raw)") {
+    check(Fixtures.zonesBasic(grid), Nil)
+  }
+
+  test("basic zones match oracle (png decode path)") {
+    check(Fixtures.zonesBasic(grid), Nil, fmt = "png")
+  }
+
+  test("basic zones with percentiles match oracle") {
+    check(Fixtures.zonesBasic(grid), Seq(5.0, 95.0, 25.0))
+  }
+
+  test("fallback slivers match oracle (incl. last-part-wins)") {
+    check(Fixtures.zonesFallback(grid), Seq(50.0), simplify = false)
+  }
+
+  test("fallback + basic mixed") {
+    check(Fixtures.zonesBasic(grid) ++
+      Fixtures.zonesFallback(grid).map(z =>
+        z.copy(fid = z.fid + 100)), Seq(5.0, 95.0), simplify = false)
+  }
+
+  test("no-intersection short-circuit returns zero stats for all groups") {
+    val zones = Seq(
+      graft.geom.Zone.rect(1, "a", 200.0, 10.0, 210.0, 20.0),
+      graft.geom.Zone.rect(2, "b", 220.0, 10.0, 230.0, 20.0))
+    check(zones, Seq(5.0))
+  }
+
+  test("partition-count invariance") {
+    val zones = Fixtures.zonesBasic(grid)
+    val t1 = Synth.tiles(spark, grid).repartition(1)
+    val t13 = Synth.tiles(spark, grid).repartition(13)
+    val pKeys = ZonalEngine.percentileKeys(Seq(5.0, 95.0))
+    val a = collectStats(ZonalEngine.run(spark, t1, zones, grid,
+      Some(-9999.0), Seq(5.0, 95.0)), pKeys)
+    val b = collectStats(ZonalEngine.run(spark, t13, zones, grid,
+      Some(-9999.0), Seq(5.0, 95.0)), pKeys)
+    assert(a === b)
+  }
+}
+
+class NumpyPercentileSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def p(vals: Array[Float], ps: Array[Double]): Seq[Double] = {
+    val s = vals.clone(); java.util.Arrays.sort(s)
+    NumpyPercentile.compute(s, ps).toSeq
+  }
+
+  test("golden values from numpy 1.26.4") {
+    assert(p(Array(1, 2, 3, 4, 5), Array(5, 50, 95)) ===
+      Seq(1.2, 3.0, 4.8))
+    assert(p(Array(3.5f, -2.25f, 7.125f, 0.1f, 9.9f, 4.4f),
+      Array(5, 25, 50, 75, 95)) ===
+      Seq(-1.662500023841858, 0.950000025331974, 3.950000047683716,
+        6.443750023841858, 9.206249713897705))
+    assert(p(Array(42.0f), Array(5, 50, 95)) === Seq(42.0, 42.0, 42.0))
+    assert(p(Array.fill(7)(Array(0f, 96f, 1f, 95f, 2f, 94f, 47f, 48f))
+      .flatten, Array(5, 95)) === Seq(0.0, 96.0))
+    assert(p(Array(0.1f, 0.2f, 0.30000001f, 0.7f, 123456.78f, -99999.5f,
+      17.0f), Array(10, 33, 66, 90)) ===
+      Seq(-39999.7406249985, 0.1980000029504299, 0.6839999890327454,
+        49392.91250000004))
+  }
+}
