@@ -1,5 +1,5 @@
 package graft
-import graft.engine.EntryQueries
+import graft.engine.{DataQueries => DQ, EntryQueries => EQ, GenericQueries => GQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,17 +12,69 @@ object SparkEntry {
   /** Flagship: full zonal-statistics pipeline (decode → spatial join
     * → rollup) over the synthesized world tile table. */
   def entry(spark: SparkSession): DataFrame =
-    EntryQueries.zonalBasic(spark)
+    EQ.zonalBasic(spark)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zonal_basic" -> ((s, _) => EntryQueries.zonalBasic(s)),
-    "q_zonal_percentile" -> ((s, _) => EntryQueries.zonalPercentile(s)),
-    "q_zonal_fallback" -> ((s, _) => EntryQueries.zonalFallback(s)),
+    // zonal-statistics engine (reference core)
+    "q_zonal_basic" -> ((s, _) => EQ.zonalBasic(s)),
+    "q_zonal_percentile" -> ((s, _) => EQ.zonalPercentile(s)),
+    "q_zonal_fallback" -> ((s, _) => EQ.zonalFallback(s)),
+    // spatial extras (north-star ops)
+    "q_overlap_area" -> ((s, _) => EQ.overlapArea(s)),
+    "q_knn_zones" -> ((s, sf) => EQ.knnZones(s, sf)),
+    "q_tile_stats" -> ((s, _) => EQ.tileStats(s)),
+    "q_image_resize" -> ((s, _) => EQ.imageResize(s)),
+    // generic relational operators
+    "q_agg_pricing" -> ((s, sf) => GQ.aggPricing(s, sf)),
+    "q_join_nation_rev" -> ((s, sf) => GQ.joinNationRevenue(s, sf)),
+    "q_anti_join" -> ((s, sf) => GQ.antiCustomersNoOrders(s, sf)),
+    "q_semi_join" -> ((s, sf) => GQ.semiCustomersWithOrders(s, sf)),
+    "q_distinct_union" -> ((s, sf) => GQ.distinctUnion(s, sf)),
+    "q_sort_nulllast" -> ((s, _) => GQ.sortNullLast(s)),
+    "q_pivot_events" -> ((s, sf) => GQ.pivotEvents(s, sf)),
+    "q_hourly_events" -> ((s, sf) => GQ.hourlyEvents(s, sf)),
+    "q_percentile_quantity" -> ((s, sf) => GQ.percentileQuantity(s, sf)),
+    "q_isclose_discount" -> ((s, sf) => GQ.iscloseDiscount(s, sf)),
+    "q_cell_points" -> ((s, sf) => GQ.cellPoints(s, sf)),
+    // training-data pipeline operators
+    "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
+    "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
+    "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
+    "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
+    "q_token_stats" -> ((s, sf) => DQ.tokenStats(s, sf)),
+    "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
+    "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
+    "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
+    "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_zonal_basic" -> EntryQueries.zonalBasicSql,
-    "q_zonal_percentile" -> EntryQueries.zonalPercentileSql,
-    "q_zonal_fallback" -> EntryQueries.zonalFallbackSql,
+    "q_zonal_basic" -> EQ.zonalBasicSql,
+    "q_zonal_percentile" -> EQ.zonalPercentileSql,
+    "q_zonal_fallback" -> EQ.zonalFallbackSql,
+    "q_overlap_area" -> EQ.overlapAreaSql,
+    "q_knn_zones" -> EQ.knnZonesSql,
+    "q_tile_stats" -> EQ.tileStatsSql,
+    "q_image_resize" -> EQ.imageResizeSql,
+    "q_agg_pricing" -> GQ.aggPricingSql,
+    "q_join_nation_rev" -> GQ.joinNationRevenueSql,
+    "q_anti_join" -> GQ.antiCustomersNoOrdersSql,
+    "q_semi_join" -> GQ.semiCustomersWithOrdersSql,
+    "q_distinct_union" -> GQ.distinctUnionSql,
+    "q_sort_nulllast" -> GQ.sortNullLastSql,
+    "q_pivot_events" -> GQ.pivotEventsSql,
+    "q_hourly_events" -> GQ.hourlyEventsSql,
+    "q_percentile_quantity" -> GQ.percentileQuantitySql,
+    "q_isclose_discount" -> GQ.iscloseDiscountSql,
+    "q_cell_points" -> GQ.cellPointsSql,
+    "q_dedup_exact" -> DQ.dedupExactSql,
+    "q_ngram_jaccard" -> DQ.ngramJaccardSql,
+    "q_minhash_lsh" -> DQ.minhashLshSql,
+    "q_simhash" -> DQ.simhash16Sql,
+    "q_token_stats" -> DQ.tokenStatsSql,
+    "q_quality_scores" -> DQ.qualityScoresSql,
+    "q_lang_id" -> DQ.langIdSql,
+    "q_embed_topk" -> DQ.embedTopKSql,
+    "q_embed_neardup" -> DQ.embedNearDupSql,
   )
 }

@@ -1,0 +1,250 @@
+package graft.engine
+
+import graft.operators.{Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis) over the driver's `documents` / `embeddings` tables,
+  * each mirrored by a value-exact DuckDB oracle.
+  */
+object DataQueries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** DuckDB polynomial for hex→decimal of the first 15 md5 digits —
+    * mirrors Spark's `conv(substring(md5(x),1,15),16,10)`. */
+  private def hex2dec(hexExpr: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1))-1)*${BigInt(16).pow(15 - i)}")
+      .mkString("(", " + ", ")")
+
+  // ---- exact dedup ----
+  def dedupExact(spark: SparkSession, sf: String): DataFrame =
+    TextOps.exactDedupSummary(t(spark, sf, "documents"), "lang", "text")
+
+  val dedupExactSql: String = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents GROUP BY 1"""
+
+  // ---- n-gram Jaccard near-dup ----
+  def ngramJaccard(spark: SparkSession, sf: String): DataFrame =
+    TextOps.jaccardPairs(t(spark, sf, "documents"), "doc_id", "text",
+      n = 3, maxChars = 80, minJaccard = 0.62)
+
+  val ngramJaccardSql: String = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(length(substring(text, 1, 80)) - 2, 1) + 1),
+      i -> substring(substring(text, 1, 80), CAST(i AS INT), 3))) AS s
+  FROM documents
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.62"""
+
+  // ---- MinHash + LSH near-dedup ----
+  val MinHashNum = 8
+  val MinHashBands = 4
+  val MinHashJaccard = 0.66
+
+  def minhashLsh(spark: SparkSession, sf: String): DataFrame =
+    TextOps.minhashDedup(t(spark, sf, "documents"), "doc_id", "text",
+      MinHashNum, MinHashBands, MinHashJaccard)
+
+  val minhashLshSql: String = {
+    val sigCols = (0 until MinHashNum).map(k =>
+      s"min((hm*${TextOps.minhashA(k)}+${TextOps.minhashB(k)})%${TextOps.MinHashP}) AS sig$k")
+      .mkString(",\n    ")
+    val rows = MinHashNum / MinHashBands
+    val bandSelects = (0 until MinHashBands).map { b =>
+      val sigs = (0 until rows).map(r => s"sig${b * rows + r}").mkString(", ")
+      s"SELECT id, concat_ws('_', $b, $sigs) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT id, tok, (${hex2dec("md5(tok)")} % ${TextOps.MinHashP}) AS hm
+  FROM toks),
+sig AS (SELECT id,
+    $sigCols
+  FROM h GROUP BY id),
+bands AS (
+  $bandSelects
+),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id),
+sizes AS (SELECT id, CAST(count(DISTINCT tok) AS BIGINT) AS n
+  FROM toks GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN h ta ON ta.id = c.id_a
+  JOIN h tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+    CAST(COALESCE(i.i, 0) AS DOUBLE) /
+      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+) WHERE jaccard >= $MinHashJaccard"""
+  }
+
+  // ---- SimHash (16-bit, md5-derived, SQL-replicable) ----
+  def simhash16(spark: SparkSession, sf: String): DataFrame = {
+    val hashes = TextOps.tokenHashes(t(spark, sf, "documents"),
+      "doc_id", "text")
+    TextOps.simhash(hashes, 16)
+  }
+
+  val simhash16Sql: String = {
+    val bitSums = (0 until 16).map(b =>
+      s"SUM(CASE WHEN (hm // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$b")
+      .mkString(",\n    ")
+    val combine = (0 until 16).map(b =>
+      s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT id, (${hex2dec("md5(tok)")} % ${TextOps.MinHashP}) AS hm
+  FROM toks),
+s AS (SELECT id,
+    $bitSums
+  FROM h GROUP BY id)
+SELECT id, CAST($combine AS BIGINT) AS simhash FROM s"""
+  }
+
+  // ---- token counting ----
+  def tokenStats(spark: SparkSession, sf: String): DataFrame = {
+    val d = TextOps.tokenCounts(t(spark, sf, "documents"), col("text"))
+    d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens").cast("long")).as("total_tokens"),
+      max(col("n_tokens")).as("max_tokens"),
+      sum(col("n_distinct_tokens").cast("long")).as("total_distinct"))
+  }
+
+  val tokenStatsSql: String = """
+WITH d AS (
+  SELECT lang,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(MAX(n_tokens) AS INT) AS max_tokens,
+  CAST(SUM(n_distinct) AS BIGINT) AS total_distinct
+FROM d GROUP BY 1"""
+
+  // ---- quality scoring (per-doc, no cross-row double sums) ----
+  def qualityScores(spark: SparkSession, sf: String): DataFrame =
+    TextOps.qualityScore(t(spark, sf, "documents"), col("text"))
+      .select("doc_id", "lang", "n_chars_m", "n_tokens", "punct_ratio",
+        "space_ratio", "mean_token_len")
+
+  val qualityScoresSql: String = """
+SELECT doc_id, lang,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+    AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+    / length(text) AS space_ratio,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+FROM documents"""
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+  def langId(spark: SparkSession, sf: String): DataFrame =
+    TextOps.langId(t(spark, sf, "documents"), col("doc_id"), col("text"))
+
+  val langIdSql: String = {
+    val markerValues = TextOps.langMarkers.flatMap { case (l, ws) =>
+      ws.map(w => s"('$l', '$w')")
+    }.mkString(", ")
+    s"""
+WITH markers(cand_lang, marker) AS (VALUES $markerValues),
+toks AS (
+  SELECT doc_id AS id,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+total AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY id),
+hits AS (
+  SELECT t.id, m.cand_lang, CAST(count(*) AS BIGINT) AS n_hit
+  FROM toks t JOIN markers m ON t.tok = m.marker
+  GROUP BY t.id, m.cand_lang
+),
+scored AS (
+  SELECT total.id, hits.cand_lang,
+    CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / total.n_tok AS score
+  FROM total LEFT JOIN hits ON total.id = hits.id
+)
+SELECT id, cand_lang AS pred_lang, score FROM (
+  SELECT id, cand_lang, score,
+    row_number() OVER (PARTITION BY id
+      ORDER BY score DESC, cand_lang ASC) AS rn
+  FROM scored
+) WHERE rn = 1"""
+  }
+
+  // ---- embedding cosine top-k (brute-force exact ANN baseline) ----
+  def embedTopK(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    Similarity.cosineTopK(e, e.where(col("vec_id") < 5), "vec_id",
+      "embedding", k = 3)
+  }
+
+  val embedTopKSql: String = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) /
+    (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       FROM (SELECT unnest(q.embedding) AS x))) *
+     sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest(c.embedding) AS y)))) AS score
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT query_id, cand_id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+  // ---- embedding cosine near-dup pairs ----
+  def embedNearDup(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings").where(col("vec_id") < 150)
+    Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
+  }
+
+  val embedNearDupSql: String = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) /
+    (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       FROM (SELECT unnest(a.embedding) AS x))) *
+     sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest(b.embedding) AS y)))) AS score
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id
+) WHERE score >= 0.3"""
+}

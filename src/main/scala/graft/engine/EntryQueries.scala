@@ -158,4 +158,147 @@ SELECT scal.grp AS grp, scal.cnt AS cnt, scal.nd AS nodata_cnt,
   END AS stdev_v,
   round(q.q50, 6) AS p50
 FROM scal JOIN q ON scal.grp = q.grp"""
+
+  // ---------------------------------------------------------------
+  // Polygon-polygon overlap area (north-star analysis op)
+  // ---------------------------------------------------------------
+
+  /** Rect zone set B: the A rects shifted by (+5, +5) pixels. */
+  private val overlapARects = Seq( // (fid, c0, r0, c1, r1)
+    (1L, 2, 2, 20, 12), (2L, 40, 30, 60, 44), (3L, 10, 8, 30, 26),
+    (4L, 70, 70, 100, 100), (5L, 0, 100, 30, 120))
+  private val overlapBRects = overlapARects.map { case (f, c0, r0, c1, r1) =>
+    (f + 100, c0 + 5, r0 + 5, c1 + 5, r1 + 5)
+  }
+
+  def overlapArea(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grid = Synth.testGrid
+    def mk(rs: Seq[(Long, Int, Int, Int, Int)]) = rs.map {
+      case (f, c0, r0, c1, r1) => Synth.rectPx(grid, f, s"z$f", c0, r0, c1, r1)
+    }
+    val zonesA = mk(overlapARects)
+    val zonesB = mk(overlapBRects)
+    val aDf = zonesA.map(z => (z.fid, graft.geom.Zone.toWkb(z.geom)))
+      .toDF("fid", "geom_wkb")
+    val bc = spark.sparkContext.broadcast(
+      new graft.geom.ZoneIndex(zonesB.toArray))
+    graft.operators.OverlapKnn.overlapPairs(spark, aDf, bc)
+  }
+
+  val overlapAreaSql: String = {
+    val grid = Synth.testGrid
+    def vals(rs: Seq[(Long, Int, Int, Int, Int)]) = rs.map {
+      case (f, c0, r0, c1, r1) =>
+        s"($f, ${grid.gt.cornerX(c0)}, ${grid.gt.cornerY(r1)}, " +
+          s"${grid.gt.cornerX(c1)}, ${grid.gt.cornerY(r0)})"
+    }.mkString(", ")
+    s"""
+WITH za(fid, x0, y0, x1, y1) AS (VALUES ${vals(overlapARects)}),
+zb(fid, x0, y0, x1, y1) AS (VALUES ${vals(overlapBRects)})
+SELECT * FROM (
+  SELECT za.fid AS fid_a, zb.fid AS fid_b,
+    greatest(least(za.x1, zb.x1) - greatest(za.x0, zb.x0), 0.0) *
+    greatest(least(za.y1, zb.y1) - greatest(za.y0, zb.y0), 0.0)
+      AS overlap_area
+  FROM za, zb
+) WHERE overlap_area > 0.0"""
+  }
+
+  // ---------------------------------------------------------------
+  // kNN lookup: points → nearest zone centroids
+  // ---------------------------------------------------------------
+
+  def knnZones(spark: SparkSession, sf: String): DataFrame = {
+    val grid = Synth.testGrid
+    val zones = Fixtures.zonesBasic(grid)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val points = n.select(
+      org.apache.spark.sql.functions.col("n_nationkey").cast("long").as("id"),
+      (org.apache.spark.sql.functions.col("n_nationkey").cast("double") * 13.0
+        % 360.0 - 180.0 + 0.25).as("x"),
+      (org.apache.spark.sql.functions.col("n_nationkey").cast("double") * 7.0
+        % 180.0 - 90.0 + 0.25).as("y"))
+    graft.operators.OverlapKnn.nearestZones(spark, points, zones, k = 2)
+      .withColumn("dist", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("dist"), 6))
+  }
+
+  val knnZonesSql: String = {
+    val grid = Synth.testGrid
+    // embed the JTS-computed centroids so the oracle shares the exact
+    // centroid doubles with the engine
+    val cents = Fixtures.zonesBasic(grid).map { z =>
+      val c = z.geom.getCentroid
+      s"(${z.fid}, ${fmtD(c.getX)}, ${fmtD(c.getY)})"
+    }.mkString(", ")
+    s"""
+WITH cents(fid, cx, cy) AS (VALUES $cents),
+pts AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id,
+    CAST(n_nationkey AS DOUBLE) * 13.0 % 360.0 - 180.0 + 0.25 AS x,
+    CAST(n_nationkey AS DOUBLE) * 7.0 % 180.0 - 90.0 + 0.25 AS y
+  FROM nation
+)
+SELECT id, fid, CAST(rank AS INT) AS rank, round(dist, 6) AS dist FROM (
+  SELECT p.id, c.fid,
+    sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) AS dist,
+    row_number() OVER (PARTITION BY p.id ORDER BY
+      sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) ASC,
+      c.fid ASC) AS rank
+  FROM pts p, cents c
+) WHERE rank <= 2"""
+  }
+
+  private def fmtD(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) new java.math.BigDecimal(d).toPlainString else s
+  }
+
+  // ---------------------------------------------------------------
+  // Tile decode + per-tile stats (S4 scan + decode expression)
+  // ---------------------------------------------------------------
+
+  def tileStats(spark: SparkSession): DataFrame = {
+    val tiles = Synth.tiles(spark, Synth.testGrid)
+    graft.operators.ImageOps.tileStats(tiles, -9999.0)
+  }
+
+  val tileStatsSql: String = s"""
+WITH px AS (
+  SELECT gr, gc, ${Synth.valueSql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+)
+SELECT printf('tile_%04d_%04d', gr // 16, gc // 16) AS image_id,
+  CAST(COUNT(*) FILTER (WHERE v = -9999.0) AS BIGINT) AS nodata_px,
+  CAST(COUNT(*) AS BIGINT) AS total_px,
+  COALESCE(SUM(v) FILTER (WHERE v <> -9999.0), 0.0) AS sum_px,
+  CAST(MIN(v) FILTER (WHERE v <> -9999.0) AS DOUBLE) AS min_px,
+  CAST(MAX(v) FILTER (WHERE v <> -9999.0) AS DOUBLE) AS max_px
+FROM px GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // Image resize (multimodal op; nearest-neighbor 2× downsample)
+  // ---------------------------------------------------------------
+
+  def imageResize(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    val px = graft.operators.ImageOps.pixels(col("bytes"), col("fmt"))
+    val small = graft.operators.ImageOps.resizeNearest(px, grid.tileW,
+      grid.tileH, 2)
+    tiles.select(col("image_id"),
+      size(small).cast("long").as("n_px"),
+      graft.operators.ImageOps.pxSum(small).as("sum_px"))
+  }
+
+  val imageResizeSql: String = s"""
+WITH px AS (
+  SELECT gr, gc, ${Synth.valueSql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+)
+SELECT printf('tile_%04d_%04d', gr // 16, gc // 16) AS image_id,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  SUM(v) AS sum_px
+FROM px WHERE gr % 2 = 0 AND gc % 2 = 0 GROUP BY 1"""
 }

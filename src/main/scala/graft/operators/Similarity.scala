@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate/exact nearest-neighbor search over an `array<float>`
+  * embedding column. Brute-force cosine top-k is the exact baseline;
+  * a signed-random-projection (SimHash-for-vectors) bucket join is
+  * the scale path: candidates shuffle on the bucket key instead of
+  * materializing the O(n·m) pair space.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
+  * functions), folding left-to-right in float64 over the float32
+  * elements — deterministic and replicable in external SQL engines.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential fold (order-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact brute-force top-k by cosine: each query row is compared
+    * against every candidate (queries broadcast), ranked with a
+    * deterministic (score DESC, id ASC) tie-break. */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "score")
+  }
+
+  /** Near-duplicate pairs (a<b) with cosine >= threshold, brute
+    * force over a broadcastable side. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for
+    * (plane, dim): a fixed integer lattice mapped to [-1, 1). Chosen
+    * to be exactly replicable in SQL: ((1 + p*7919 + d*104729) mod
+    * 1000003) / 500001.5 - 1. */
+  def planeComponent(p: Int, d: Int): Double =
+    ((1L + p * 7919L + d * 104729L) % 1000003L) / 500001.5 - 1.0
+
+  /** Signed-random-projection bucket key over `numPlanes` fixed
+    * hyperplanes — the LSH scale path for cosine ANN. Vectors in the
+    * same bucket are near-certain cosine neighbors; probing adjacent
+    * buckets trades recall for cost. */
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(proj > 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN near-dup: candidates only within equal SRP bucket,
+    * then exact cosine filter — same output columns as
+    * [[cosineNearDupPairs]] but with bucket-join complexity. */
+  def srpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int, threshold: Double): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+    val a = withB.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score").distinct()
+  }
+}
