@@ -1,0 +1,51 @@
+package graft
+
+import graft.engine.{Config, ZonalJob}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Paths
+import java.time.format.DateTimeFormatter
+
+/** spark-submit entrypoint: INI config → validated jobs → zonal-stats
+  * CSVs — the engine's `main` (`/root/reference/runner.py:1054-1106`).
+  * Job outputs are timestamped `%Y_%m_%d_%H_%M_%S` like the reference;
+  * pass `--no-timestamp` for byte-stable output names.
+  *
+  *   spark-submit --class graft.Main <jar> <config.ini> [--no-timestamp]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <config.ini> [--no-timestamp]")
+    val cfg = Config.parseAndValidate(Paths.get(args(0)))
+    val noTs = args.contains("--no-timestamp")
+
+    // spark-submit injects spark.master; default to local[*] when run
+    // directly (e.g. sbt runMain)
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
+      .appName(s"graft-${cfg.name}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(cfg.logLevel match {
+      case "DEBUG" => "INFO" // Spark has no DEBUG console default
+      case l @ ("WARN" | "WARNING") => "WARN"
+      case l => l.take(4) match { case "CRIT" | "FATA" => "ERROR"
+        case _ => "WARN" }
+    })
+
+    val ts =
+      if (noTs) None
+      else Some(java.time.LocalDateTime.now()
+        .format(DateTimeFormatter.ofPattern("yyyy_MM_dd_HH_mm_ss")))
+
+    cfg.jobs.foreach { job =>
+      val out = ZonalJob.run(spark, job, ts)
+      // scalastyle:off println
+      println(s"[graft] job ${job.tag} -> $out")
+      // scalastyle:on println
+    }
+    spark.stop()
+  }
+}

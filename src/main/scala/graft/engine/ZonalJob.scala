@@ -1,0 +1,165 @@
+package graft.engine
+
+import graft.geom.Zone
+import graft.operators.ZonalEngine
+import graft.sources.TileTable
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Multi-raster zonal job + pivot + CSV sink — the Spark-native
+  * `run_zonal_stats_job` (`/root/reference/runner.py:929-1025`):
+  * sequential per-raster zonal stats, group-key union across rasters,
+  * wide pivot in either `row_col_order` orientation, reference column
+  * ordering (stat-dict insertion order), lexicographic group sort with
+  * None last, `None`→empty-cell CSV rendering.
+  */
+object ZonalJob {
+
+  type GroupStats = Map[Option[String], Map[String, Option[Any]]]
+
+  /** Run one raster slice → per-group stat maps keyed like the
+    * reference dicts (stat-field insertion order preserved by the
+    * field list, runner.py:849-861,917). */
+  def singleRaster(spark: SparkSession, table: TileTable, zones: Seq[Zone],
+      percentiles: Seq[Double]): GroupStats = {
+    val df = ZonalEngine.run(spark, table.readPruned(spark, {
+      val e = new org.locationtech.jts.geom.Envelope()
+      zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
+      e
+    }), zones, table.grid, table.nodata, percentiles)
+    val pKeys = ZonalEngine.percentileKeys(
+      ZonalEngine.normalizePercentiles(percentiles))
+    df.collect().map { r =>
+      val g = Option(r.getAs[String]("group"))
+      val m = ZonalEngine.statFields(pKeys).map { f =>
+        f -> Option(r.getAs[Any](f))
+      }.toMap
+      g -> m
+    }.toMap
+  }
+
+  /** Reference group ordering: `(v is None, str(v))` — lexicographic
+    * on the string form, None last (runner.py:981-983). */
+  def orderedGroups(groups: Set[Option[String]]): Seq[Option[String]] =
+    groups.toSeq.sortBy(g => (g.isEmpty, g.getOrElse("")))
+
+  def groupLabel(g: Option[String]): String = g.getOrElse("")
+
+  /** CPython `str()` rendering for CSV cells: None → "", floats in
+    * repr form (shortest round-trip, '.0' for integral), ints plain.
+    * (runner.py:1021-1025 via csv.DictWriter + str()). */
+  def cellStr(v: Option[Any]): String = v match {
+    case None => ""
+    case Some(l: Long) => l.toString
+    case Some(i: Int) => i.toString
+    case Some(d: Double) => pyFloatRepr(d)
+    case Some(f: Float) => pyFloatRepr(f.toDouble)
+    case Some(other) => other.toString
+  }
+
+  /** Python repr(float): shortest round-trip decimal; exponent form
+    * only for |x| >= 1e16 or < 1e-4 (with e+NN/e-NN, two-digit
+    * exponent). Java's Double.toString is also shortest-round-trip
+    * but formats thresholds differently — rewrite to Python rules. */
+  def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+    val abs = math.abs(d)
+    if (abs >= 1e16 || abs < 1e-4) {
+      // python exponent form: d.dddde±XX
+      val s = String.format("%.17e", Double.box(d))
+      // reduce mantissa to shortest round-trip
+      var prec = 1
+      var out = ""
+      while ({ out = String.format(s"%.${prec}e", Double.box(d))
+               out.toDouble != d && prec < 17 }) prec += 1
+      val Array(mant, ex) = out.split("e")
+      val exp = ex.toInt
+      // python prints the shortest mantissa with no trailing ".0"
+      val mantTrim =
+        if (mant.contains('.'))
+          mant.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else mant
+      f"${mantTrim}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+    } else {
+      val plain = bd.stripTrailingZeros.toPlainString
+      if (plain.contains('.')) plain else plain + ".0"
+    }
+  }
+
+  /** Pivot + render the CSV lines for a finished job
+    * (runner.py:967-1025). `rasterStats` in raster order. */
+  def renderCsv(aggField: String, rowColOrder: String,
+      rasterStems: Seq[String], rasterStats: Map[String, GroupStats],
+      percentileKeys: Seq[String]): Seq[String] = {
+    val allGroups = rasterStats.values.flatMap(_.keys).toSet
+    val statFields =
+      if (rasterStats.values.exists(_.nonEmpty))
+        ZonalEngine.statFields(percentileKeys)
+      else Seq("min", "max", "count", "nodata_count", "sum")
+    val parts = rowColOrder.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    def csvQuote(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+
+    if (parts == Seq("agg_field", "base_raster")) {
+      val header = aggField +: (for (stem <- rasterStems;
+        f <- statFields) yield s"${f}_$stem")
+      val rows = orderedGroups(allGroups).map { g =>
+        groupLabel(g) +: (for (stem <- rasterStems; f <- statFields)
+          yield cellStr(rasterStats(stem)(g).getOrElse(f, None)))
+      }
+      (header +: rows).map(_.map(csvQuote).mkString(","))
+    } else if (parts == Seq("base_raster", "agg_field")) {
+      val og = orderedGroups(allGroups)
+      val header = "base_raster" +: (for (g <- og; f <- statFields)
+        yield s"${f}_${groupLabel(g)}")
+      val rows = rasterStems.map { stem =>
+        stem +: (for (g <- og; f <- statFields)
+          yield cellStr(rasterStats(stem)(g).getOrElse(f, None)))
+      }
+      (header +: rows).map(_.map(csvQuote).mkString(","))
+    } else {
+      throw new IllegalArgumentException(
+        "row_col_order must be 'agg_field,base_raster' or 'base_raster,agg_field'")
+    }
+  }
+
+  /** Execute a JobSpec end-to-end: per-raster zonal stats → pivot →
+    * CSV file (timestamped by the caller-provided stamp for
+    * deterministic tests; runner.py:1079-1091). */
+  def run(spark: SparkSession, job: Config.JobSpec,
+      timestamp: Option[String] = None): String = {
+    val percentiles = job.percentiles
+    val pKeys = ZonalEngine.percentileKeys(
+      ZonalEngine.normalizePercentiles(percentiles))
+    val stems = job.rasterPaths.map(p =>
+      Paths.get(p).getFileName.toString)
+    val stats: Map[String, GroupStats] =
+      job.rasterPaths.zip(stems).map { case (path, stem) =>
+        val table = TileTable.open(path)
+        val zones = ZoneStore.load(spark, job.aggVector, job.aggField)
+        stem -> singleRaster(spark, table, zones, percentiles)
+      }.toMap
+    val lines = renderCsv(job.aggField, job.rowColOrder, stems, stats, pKeys)
+    val out = timestamp match {
+      case Some(ts) =>
+        val p = Paths.get(job.outputCsv)
+        val name = p.getFileName.toString
+        val dot = name.lastIndexOf('.')
+        val stamped =
+          if (dot > 0) s"${name.substring(0, dot)}_$ts${name.substring(dot)}"
+          else s"${name}_$ts"
+        p.getParent.resolve(stamped).toString
+      case None => job.outputCsv
+    }
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.writeString(Paths.get(out), lines.mkString("", "\r\n", "\r\n"))
+    out
+  }
+}

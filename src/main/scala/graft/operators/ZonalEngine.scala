@@ -125,6 +125,13 @@ object ZonalEngine {
     df.select("group", statFields(pKeys): _*)
   }
 
+  /** Public fallback entry for external orchestrators (checkpointed
+    * runs): fid-level stats of the envelope-fallback pass only. */
+  def fallbackStatsDf(spark: SparkSession, tiles: DataFrame,
+      unset: Seq[Zone], grid: RasterGrid,
+      nodata: Option[Double]): Option[DataFrame] =
+    runFallback(spark, tiles, unset, grid, nodata, collectVals = false)._1
+
   /** Envelope-window fallback for zones that captured no pixel:
     * per PART of each multi-geometry, stats over the WHOLE clamped
     * envelope window (no PIP — a reference quirk), scalars overwritten

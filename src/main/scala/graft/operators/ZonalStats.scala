@@ -158,7 +158,7 @@ object ZonalStats {
     * `runner.py:491-500`). Algebraic — Spark's partial aggregation
     * merges map-side, so zone-size skew does not concentrate pixel
     * rows on one reducer. */
-  def fidStats(partials: Dataset[FidPartial]): DataFrame = {
+  def fidStats(partials: Dataset[_]): DataFrame = {
     partials.groupBy("fid").agg(
       sum("cnt").as("cnt"),
       sum("nodata").as("nodata"),

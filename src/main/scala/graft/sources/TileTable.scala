@@ -1,0 +1,168 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.functions.{functions => gf}
+import graft.geom.{GeoTransform, Morton, RasterGrid}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.locationtech.jts.geom.Envelope
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style tile table: cell-sorted Parquet data files + a JSON
+  * manifest carrying table metadata (grid geo-referencing, nodata,
+  * cell level) and per-file cell-range statistics.
+  *
+  * This plays the role of the raster metadata scan + block layout of
+  * the reference (`/root/reference/runner.py:295-305,542-545`) at
+  * 10^12-image design scale:
+  *   - file-level pruning: the manifest's [cellMin, cellMax] per file
+  *     is intersected with the Morton cover of the query envelope, so
+  *     a zonal job over a region touches only that region's files;
+  *   - row-group pruning: rows are range-partitioned AND sorted by
+  *     `cell`, so the pushed `cell BETWEEN` predicates prune Parquet
+  *     row groups via min/max stats inside each touched file.
+  */
+final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
+    rows: Long)
+
+final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
+    cellLevel: Int, files: Seq[TileFileStat])
+
+class TileTable(val root: String, val manifest: TileManifest) {
+
+  /** Full scan (all data files). */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(manifest.files.map(f => s"$root/${f.path}"): _*)
+
+  /** Manifest-pruned scan: only files whose cell range intersects the
+    * Morton cover of `env`, with the cell-range predicate pushed into
+    * the Parquet scan for row-group pruning. Falls back to an empty
+    * frame when nothing overlaps.
+    *
+    * A tile's `cell` encodes its CENTER, so the query envelope is
+    * inflated by half a tile extent first — otherwise a tile that
+    * overlaps the envelope edge-on (center outside) would be missed,
+    * silently dropping pixels. */
+  def readPruned(spark: SparkSession, env: Envelope): DataFrame = {
+    val g = manifest.grid
+    val inflated = new Envelope(env)
+    inflated.expandBy(math.abs(g.gt.px) * g.tileW / 2.0,
+      math.abs(g.gt.py) * g.tileH / 2.0)
+    val ranges = Morton.coverRanges(inflated.getMinX, inflated.getMaxX,
+      inflated.getMinY, inflated.getMaxY, manifest.cellLevel)
+    val files = manifest.files.filter(f =>
+      ranges.exists { case (lo, hi) => f.cellMax >= lo && f.cellMin <= hi })
+    if (files.isEmpty) return read(spark).limit(0)
+    val df = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val pred = ranges.map { case (lo, hi) =>
+      col("cell").between(lo, hi)
+    }.reduce(_ || _)
+    df.where(pred)
+  }
+
+  def grid: RasterGrid = manifest.grid
+  def nodata: Option[Double] = manifest.nodata
+}
+
+object TileTable {
+  val FormatName = "graft-tile-v1"
+  val DefaultCellLevel = 12
+
+  private val mapper = new ObjectMapper()
+
+  /** Write a tile table: adds the Morton `cell` column (tile-center
+    * cell at `cellLevel`), range-partitions + sorts by it, writes
+    * Parquet, then collects per-file cell stats into the manifest.
+    * `tiles` must carry the input_hint schema (image_id, bytes, w, h,
+    * fmt, caption, phash). */
+  def write(spark: SparkSession, tiles: DataFrame, grid: RasterGrid,
+      nodata: Option[Double], root: String,
+      cellLevel: Int = DefaultCellLevel,
+      numFiles: Int = 0): TileTable = {
+    val n = if (numFiles > 0) numFiles
+      else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
+    // tile-center lon/lat from image_id; exact arithmetic
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val tc = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 2)
+      .cast("int")
+    val cx = lit(grid.gt.x0) + (tc.cast("double") + 0.5) *
+      (grid.gt.px * grid.tileW)
+    val cy = lit(grid.gt.y0) + (tr.cast("double") + 0.5) *
+      (grid.gt.py * grid.tileH)
+    val withCell = tiles.withColumn("cell",
+      gf.cell_id(cx, cy, lit(cellLevel)))
+
+    val dataDir = s"$root/data"
+    withCell
+      .repartitionByRange(n, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(dataDir)
+
+    // per-file stats from the written files themselves
+    val stats = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("cell").as("cmin"), max("cell").as("cmax"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map { r =>
+        val full = r.getString(0)
+        val rel = "data/" + full.substring(full.lastIndexOf('/') + 1)
+        TileFileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+      }.sortBy(_.cellMin).toSeq
+
+    val man = TileManifest(grid, nodata, cellLevel, stats)
+    writeManifest(root, man)
+    new TileTable(root, man)
+  }
+
+  def writeManifest(root: String, m: TileManifest): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("format", FormatName)
+    val g = o.putObject("grid")
+    g.put("x0", m.grid.gt.x0); g.put("px", m.grid.gt.px)
+    g.put("y0", m.grid.gt.y0); g.put("py", m.grid.gt.py)
+    g.put("widthPx", m.grid.widthPx); g.put("heightPx", m.grid.heightPx)
+    g.put("tileW", m.grid.tileW); g.put("tileH", m.grid.tileH)
+    m.nodata.foreach(nd => o.put("nodata", nd))
+    o.put("cellLevel", m.cellLevel)
+    val arr = o.putArray("files")
+    m.files.foreach { f =>
+      val fo = arr.addObject()
+      fo.put("path", f.path); fo.put("cellMin", f.cellMin)
+      fo.put("cellMax", f.cellMax); fo.put("rows", f.rows)
+    }
+    val tmp = Paths.get(root, ".manifest.json.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(o))
+    Files.move(tmp, Paths.get(root, "manifest.json"),
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def open(root: String): TileTable = {
+    val j = mapper.readTree(Files.readString(Paths.get(root, "manifest.json")))
+    require(j.get("format").asText() == FormatName,
+      s"not a $FormatName table: $root")
+    val g = j.get("grid")
+    val grid = RasterGrid(
+      GeoTransform(g.get("x0").asDouble(), g.get("px").asDouble(), 0.0,
+        g.get("y0").asDouble(), 0.0, g.get("py").asDouble()),
+      g.get("widthPx").asInt(), g.get("heightPx").asInt(),
+      g.get("tileW").asInt(), g.get("tileH").asInt())
+    val nodata = Option(j.get("nodata")).map(_.asDouble())
+    val files = j.get("files").elements().asScala.map { f =>
+      TileFileStat(f.get("path").asText(), f.get("cellMin").asLong(),
+        f.get("cellMax").asLong(), f.get("rows").asLong())
+    }.toSeq
+    new TileTable(root, TileManifest(grid, nodata,
+      j.get("cellLevel").asInt(), files))
+  }
+
+  def exists(root: String): Boolean =
+    Files.exists(Paths.get(root, "manifest.json"))
+}

@@ -43,19 +43,36 @@ object Synth {
       s"WHEN (($gr*7 + $gc*13) % 23) = 0 THEN -9999.0 " +
       s"ELSE CAST((($gr*31 + $gc*17) % 97) AS DOUBLE) END"
 
-  def tilePixels(grid: RasterGrid, tr: Int, tc: Int): Array[Float] = {
+  /** Alternative deterministic pixel field (a second "raster" for
+    * multi-raster jobs); same nodata value, different lattice. */
+  def value2(gr: Int, gc: Int): Float =
+    if ((gr + gc) % 31 == 0) Nodata
+    else ((gr * 13 + gc * 29) % 89).toFloat
+
+  def valueSql2(gr: String = "gr", gc: String = "gc"): String =
+    s"CASE WHEN (($gr + $gc) % 31) = 0 THEN -9999.0 " +
+      s"ELSE CAST((($gr*13 + $gc*29) % 89) AS DOUBLE) END"
+
+  /** Pixel function by variant id (0 = [[value]], 1 = [[value2]]). */
+  def valueFn(variant: Int): (Int, Int) => Float =
+    if (variant == 0) value else value2
+
+  def tilePixels(grid: RasterGrid, tr: Int, tc: Int,
+      variant: Int = 0): Array[Float] = {
+    val f = valueFn(variant)
     val px = new Array[Float](grid.tileW * grid.tileH)
     var i = 0
     while (i < px.length) {
-      px(i) = value(tr * grid.tileH + i / grid.tileW,
+      px(i) = f(tr * grid.tileH + i / grid.tileW,
         tc * grid.tileW + i % grid.tileW)
       i += 1
     }
     px
   }
 
-  def makeTile(grid: RasterGrid, tr: Int, tc: Int, fmt: String): TileRow = {
-    val px = tilePixels(grid, tr, tc)
+  def makeTile(grid: RasterGrid, tr: Int, tc: Int, fmt: String,
+      variant: Int = 0): TileRow = {
+    val px = tilePixels(grid, tr, tc, variant)
     val raw = ImageCodec.encodeRaw(px)
     val bytes = fmt match {
       case "raw" => raw
@@ -70,14 +87,15 @@ object Synth {
     * Tiles are generated inside executors from the tile index — the
     * driver never materializes pixel data, so the same code synthesizes
     * the bench-scale table. */
-  def tiles(spark: SparkSession, grid: RasterGrid,
-      fmt: String = "raw"): DataFrame = {
+  def tiles(spark: SparkSession, grid: RasterGrid, fmt: String = "raw",
+      variant: Int = 0): DataFrame = {
     import spark.implicits._
     val g = grid
     val f = fmt
+    val v = variant
     spark.range(0, grid.numTiles)
       .as[Long]
-      .map(i => makeTile(g, (i / g.tilesX).toInt, (i % g.tilesX).toInt, f))
+      .map(i => makeTile(g, (i / g.tilesX).toInt, (i % g.tilesX).toInt, f, v))
       .toDF()
   }
 

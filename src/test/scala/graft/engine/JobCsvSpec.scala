@@ -1,0 +1,95 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.oracle.RefOracle
+import graft.sources.TileTable
+import graft.synth.Synth
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end job parity: INI config → multi-raster zonal job → CSV
+  * bytes compared against a CSV rendered from the single-threaded
+  * reference-semantics oracle (SURVEY.md §5.4). */
+class JobCsvSpec extends SparkSpec {
+  private val grid = Synth.testGrid
+
+  private def oracleCsv(rowColOrder: String, stems: Seq[String],
+      variants: Seq[Int], percentiles: Seq[Double]): Seq[String] = {
+    val zones = Fixtures.zonesBasic(grid)
+    val pKeys = graft.operators.ZonalEngine.percentileKeys(
+      percentiles.distinct.sorted)
+    val stats = stems.zip(variants).map { case (stem, v) =>
+      val m = RefOracle.zonalStats(grid, Synth.valueFn(v), zones,
+        Some(-9999.0), percentiles)
+      stem -> m.map { case (g, s) =>
+        g -> (Map[String, Option[Any]](
+          "min" -> s.min, "max" -> s.max, "count" -> Some(s.count),
+          "nodata_count" -> Some(s.nodataCount),
+          "valid_count" -> Some(s.validCount), "sum" -> Some(s.sum),
+          "stdev" -> s.stdev) ++ pKeys.zip(s.pcts).toMap)
+      }
+    }.toMap
+    ZonalJob.renderCsv("grp_field", rowColOrder, stems, stats, pKeys)
+  }
+
+  test("job E2E: both pivot orientations match oracle CSV byte-for-byte") {
+    val work = Files.createTempDirectory("graft-job")
+    // two "rasters" = two tile tables with different pixel fields
+    val stems = Seq("rasterA", "rasterB")
+    Seq(0, 1).zip(stems).foreach { case (v, stem) =>
+      TileTable.write(spark, Synth.tiles(spark, grid, "raw", v), grid,
+        Some(-9999.0), s"$work/$stem", cellLevel = 8, numFiles = 2)
+    }
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+
+    for (order <- Seq("agg_field,base_raster", "base_raster,agg_field")) {
+      val job = Config.JobSpec(
+        tag = "t1", aggVector = s"$vecDir/zones.parquet",
+        aggLayer = "zones", aggField = "grp_field",
+        rasterPaths = stems.map(s => s"$work/$s"),
+        operations = Seq("avg", "stdev", "valid_count", "total_count",
+          "p5", "p95"),
+        rowColOrder = order, workdir = s"$work/wd",
+        outputCsv = s"$work/out_${order.replace(',', '_')}.csv")
+      val outPath = ZonalJob.run(spark, job, timestamp = None)
+      val got = Files.readString(Paths.get(outPath))
+      val exp = oracleCsv(order, stems, Seq(0, 1), job.percentiles)
+        .mkString("", "\r\n", "\r\n")
+      assert(got === exp, s"order=$order")
+    }
+  }
+
+  test("config → job roundtrip via INI file") {
+    val work = Files.createTempDirectory("graft-ini")
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      s"$work/tablesA", cellLevel = 8, numFiles = 2)
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp",
+      s"$vecDir/zones.parquet")
+    val ini = work.resolve("proj1.ini")
+    Files.writeString(ini,
+      s"""[project]
+         |name = proj1
+         |global_work_dir = $work/wd
+         |global_output_dir = $work/out
+         |log_level = INFO
+         |
+         |[job:alpha]
+         |agg_vector = $vecDir/zones.parquet
+         |agg_field = grp
+         |operations = avg,stdev,valid_count,total_count,p5,p95
+         |row_col_order=agg_field,base_raster
+         |base_raster_pattern=$work/tables*
+         |""".stripMargin)
+    val cfg = Config.parseAndValidate(ini)
+    assert(cfg.jobs.size === 1)
+    assert(cfg.jobs.head.rasterPaths.nonEmpty)
+    val out = ZonalJob.run(spark, cfg.jobs.head, timestamp = Some("T"))
+    assert(out.endsWith("alpha_T.csv"))
+    val lines = Files.readString(Paths.get(out)).split("\r\n")
+    assert(lines.head.startsWith("grp,"))
+    assert(lines.length === 9) // header + 8 groups
+  }
+}

@@ -1,0 +1,203 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.geom.Morton
+import graft.oracle.RefOracle
+import graft.sources.TileTable
+import graft.synth.Synth
+
+import java.nio.file.{Files, Paths}
+
+class PyReprSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pyFloatRepr matches CPython repr() goldens") {
+    val cases = Seq(
+      3.0 -> "3.0", 3.5 -> "3.5", 0.1 -> "0.1",
+      1e16 -> "1e+16", 9999999999999998.0 -> "9999999999999998.0",
+      1e-4 -> "0.0001", 9.999e-5 -> "9.999e-05", 1.5e-7 -> "1.5e-07",
+      47.9390243902439 -> "47.9390243902439",
+      28.064102389897037 -> "28.064102389897037",
+      -0.0 -> "-0.0", 123456789.123 -> "123456789.123",
+      2.5e16 -> "2.5e+16", 1e22 -> "1e+22")
+    cases.foreach { case (d, exp) =>
+      assert(ZonalJob.pyFloatRepr(d) === exp, s"for $d")
+    }
+  }
+}
+
+class TileTableSpec extends SparkSpec {
+  private val root = Files.createTempDirectory("graft-tt").toString
+  private val grid = Synth.testGrid
+
+  test("write → open roundtrip preserves metadata + rows") {
+    val t = TileTable.write(spark, Synth.tiles(spark, grid), grid,
+      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
+    assert(t.manifest.files.nonEmpty)
+    val t2 = TileTable.open(root)
+    assert(t2.grid === grid)
+    assert(t2.nodata === Some(-9999.0))
+    assert(t2.read(spark).count() === grid.numTiles)
+    assert(t2.manifest.files.map(_.rows).sum === grid.numTiles)
+  }
+
+  test("pruned read returns exactly the overlapping tiles") {
+    val t = TileTable.open(root)
+    // envelope of zone fid1: pixel cols [2,20), rows [2,12) → tiles
+    // (0..0, 0..1) region
+    val env = new org.locationtech.jts.geom.Envelope(
+      grid.gt.cornerX(2), grid.gt.cornerX(20),
+      grid.gt.cornerY(12), grid.gt.cornerY(2))
+    val pruned = t.readPruned(spark, env)
+    val ids = pruned.select("image_id").collect().map(_.getString(0)).toSet
+    // must contain every tile whose envelope intersects env
+    for (tr <- 0 until grid.tilesY; tc <- 0 until grid.tilesX) {
+      val te = grid.tileEnvelope(tr, tc)
+      if (te.intersects(env)) {
+        assert(ids.contains(graft.operators.ZonalStats.tileId(tr, tc)),
+          s"missing tile ($tr,$tc)")
+      }
+    }
+    // and prune most of the 64-tile table
+    assert(ids.size < 30, s"pruning ineffective: ${ids.size} tiles")
+  }
+
+  test("zonal results from pruned read match oracle") {
+    val t = TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+    val env = new org.locationtech.jts.geom.Envelope()
+    zones.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val res = graft.operators.ZonalEngine.run(spark,
+      t.readPruned(spark, env), zones, grid, Some(-9999.0))
+    val exp = RefOracle.zonalStats(grid, Synth.value, zones, Some(-9999.0))
+    val got = res.collect().map(r =>
+      Option(r.getAs[String]("group")) -> r.getAs[Double]("sum")).toMap
+    exp.foreach { case (g, s) => assert(got(g) === s.sum, s"group $g") }
+  }
+}
+
+class CheckpointSpec extends SparkSpec {
+  test("chunked run resumes: completed chunks skipped, result identical") {
+    val grid = Synth.testGrid
+    val root = Files.createTempDirectory("graft-ct").toString
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      root, cellLevel = 8, numFiles = 4)
+    val table = TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+
+    // run 1 computes all chunks
+    val r1 = Checkpoints.resumableGroupStats(spark, table, zones, ckpt,
+      runId = "run1")
+    val v1 = r1.collect().map(r => (Option(r.getAs[String]("group")),
+      r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
+    assert(table.manifest.files.indices.forall(
+      Checkpoints.isChunkDone(ckpt, _)))
+
+    // simulate interrupt: delete the LAST chunk only
+    val last = table.manifest.files.size - 1
+    val lastDir = Paths.get(Checkpoints.chunkDir(ckpt, last))
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmrf(_))
+      Files.deleteIfExists(p)
+    }
+    rmrf(lastDir)
+    assert(!Checkpoints.isChunkDone(ckpt, last))
+
+    // run 2 must recompute ONLY the missing chunk and keep run1's
+    // lineage on the untouched ones
+    val r2 = Checkpoints.resumableGroupStats(spark, table, zones, ckpt,
+      runId = "run2")
+    val v2 = r2.collect().map(r => (Option(r.getAs[String]("group")),
+      r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
+    assert(v1 === v2)
+    assert(Checkpoints.lineageRunId(ckpt, 0) === Some("run1"))
+    assert(Checkpoints.lineageRunId(ckpt, last) === Some("run2"))
+
+    // and equals the non-chunked engine result
+    val direct = graft.operators.ZonalEngine.run(spark,
+      table.read(spark), zones, grid, Some(-9999.0))
+    val v3 = direct.collect().map(r => (Option(r.getAs[String]("group")),
+      r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
+    assert(v1 === v3)
+  }
+}
+
+class ConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def write(name: String, body: String): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-cfg")
+    val p = dir.resolve(name)
+    Files.writeString(p, body)
+    p
+  }
+
+  test("name must equal stem") {
+    val p = write("jobA.ini",
+      "[project]\nname = other\nglobal_work_dir = ./w\nglobal_output_dir = ./o\n")
+    val e = intercept[IllegalArgumentException](Config.parseAndValidate(p))
+    assert(e.getMessage.contains("must equal config stem"))
+  }
+
+  test("duplicate tags rejected") {
+    val p = write("c.ini",
+      """[project]
+        |name = c
+        |global_work_dir = ./w
+        |global_output_dir = ./o
+        |[job:x]
+        |agg_vector = /nonexistent
+        |[job:x]
+        |agg_vector = /nonexistent
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Config.parseAndValidate(p))
+    assert(e.getMessage.contains("Duplicate job tags"))
+  }
+
+  test("missing agg_vector file raises FileNotFound") {
+    val p = write("c.ini",
+      """[project]
+        |name = c
+        |global_work_dir = ./w
+        |global_output_dir = ./o
+        |[job:x]
+        |agg_vector = /definitely/not/here.parquet
+        |""".stripMargin)
+    intercept[java.io.FileNotFoundException](Config.parseAndValidate(p))
+  }
+
+  test("invalid operations rejected with the valid list") {
+    val dir = Files.createTempDirectory("graft-cfg2")
+    val vec = dir.resolve("zones.parquet")
+    Files.writeString(vec, "placeholder") // existence check only here
+    val p = write("c.ini",
+      s"""[project]
+         |name = c
+         |global_work_dir = ./w
+         |global_output_dir = ./o
+         |[job:x]
+         |agg_vector = $vec
+         |base_raster_pattern = /nonexistent/*.x
+         |""".stripMargin)
+    // glob yields nothing → FileNotFound before ops check (ref order)
+    intercept[java.io.FileNotFoundException](Config.parseAndValidate(p))
+  }
+
+  test("percentile parse mirrors runner (median is NOT a percentile)") {
+    val job = Config.JobSpec("t", "v", "l", "f", Nil,
+      Seq("avg", "stdev", "median", "p5", "p95", "total_count"), "", "", "")
+    assert(job.percentiles === Seq(5.0, 95.0))
+  }
+}
+
+class MortonCellSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("quantize truncation matches SQL trunc semantics") {
+    // spot values used by q_cell_points
+    for (ck <- Seq(1L, 7L, 359L, 360L, 1234L)) {
+      val lon = (ck % 360).toDouble - 180.0 + 0.5
+      val lat = ((ck * 7) % 180).toDouble - 90.0 + 0.5
+      val cell = Morton.cellId(lon, lat, 8)
+      val qx = math.min(math.max((((lon - -180.0) / 360.0) * 256).toLong, 0), 255)
+      val qy = math.min(math.max((((lat - -90.0) / 180.0) * 256).toLong, 0), 255)
+      assert(cell === Morton.interleave(qx, qy))
+    }
+  }
+}
