@@ -22,6 +22,37 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 object ImageCodec {
   val PngOffset = 10000
 
+  // javax.imageio serializes hard under concurrency unless tamed:
+  // ImageIO.read's default ImageInputStream is DISK-cached (temp-file
+  // creation under a global lock per decode!) and reader lookup walks
+  // the IIORegistry. Thread-local readers + memory-cached streams keep
+  // the decode path lock-free across executor threads.
+  ImageIO.setUseCache(false)
+
+  private val pngReader = ThreadLocal.withInitial[javax.imageio.ImageReader](
+    () => ImageIO.getImageReadersByFormatName("png").next())
+  private val jpgReader = ThreadLocal.withInitial[javax.imageio.ImageReader](
+    () => ImageIO.getImageReadersByFormatName("jpg").next())
+
+  private val scratch = ThreadLocal.withInitial[Array[Byte]](
+    () => Array.emptyByteArray)
+  private val inflater = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater())
+
+  private def readVia(tl: ThreadLocal[javax.imageio.ImageReader],
+      bytes: Array[Byte]): BufferedImage = {
+    val reader = tl.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
   def encodeRaw(px: Array[Float]): Array[Byte] = {
     val bb = ByteBuffer.allocate(px.length * 4).order(ByteOrder.LITTLE_ENDIAN)
     bb.asFloatBuffer().put(px)
@@ -51,7 +82,13 @@ object ImageCodec {
   }
 
   def decodePng(bytes: Array[Byte]): Array[Float] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // fast path: our own decoder for the gray16 non-interlaced subset
+    // this codec writes — zlib inflate + PNG unfilter, no BufferedImage
+    // allocation, no ImageIO locks; scales linearly across executor
+    // threads. Anything else falls back to ImageIO.
+    val fast = decodePngGray16(bytes)
+    if (fast != null) return fast
+    val img = readVia(pngReader, bytes)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val out = new Array[Float](w * h)
@@ -59,6 +96,127 @@ object ImageCodec {
     while (i < out.length) {
       out(i) = (raster.getSample(i % w, i / w, 0) - PngOffset).toFloat
       i += 1
+    }
+    out
+  }
+
+  /** Minimal PNG decoder for 16-bit grayscale, non-interlaced images
+    * (PNG spec: IHDR/IDAT/IEND chunks, zlib stream, per-row filter
+    * byte, filters 0-4, big-endian samples). Returns null when the
+    * image is outside this subset. */
+  def decodePngGray16(bytes: Array[Byte]): Array[Float] = {
+    if (bytes.length < 33 || bytes(0) != 0x89.toByte || bytes(1) != 'P')
+      return null
+    var pos = 8
+    var w = 0; var h = 0
+    var ok = false
+    var idatLen = 0
+    // first pass: read IHDR, measure IDAT total
+    var p = pos
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (typ == "IHDR") {
+        w = ((bytes(p + 8) & 0xff) << 24) | ((bytes(p + 9) & 0xff) << 16) |
+          ((bytes(p + 10) & 0xff) << 8) | (bytes(p + 11) & 0xff)
+        h = ((bytes(p + 12) & 0xff) << 24) | ((bytes(p + 13) & 0xff) << 16) |
+          ((bytes(p + 14) & 0xff) << 8) | (bytes(p + 15) & 0xff)
+        val bitDepth = bytes(p + 16) & 0xff
+        val colorType = bytes(p + 17) & 0xff
+        val interlace = bytes(p + 20) & 0xff
+        ok = bitDepth == 16 && colorType == 0 && interlace == 0
+        if (!ok) return null
+      } else if (typ == "IDAT") idatLen += len
+      else if (typ == "IEND") p = bytes.length
+      p += 12 + len
+    }
+    if (!ok || w <= 0 || h <= 0) return null
+
+    // concatenate IDAT payloads
+    val z = new Array[Byte](idatLen)
+    var zo = 0
+    p = pos
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT") {
+        System.arraycopy(bytes, p + 8, z, zo, len); zo += len
+      } else if (typ == "IEND") p = bytes.length
+      p += 12 + len
+    }
+
+    val rowBytes = w * 2
+    // thread-local scratch: tiles in a table are uniform-sized, so the
+    // filtered-scanline buffer and Inflater are reused per executor
+    // thread — the decode loop allocates only the returned pixel array
+    val need = (rowBytes + 1) * h
+    var raw = scratch.get()
+    if (raw.length < need) { raw = new Array[Byte](need); scratch.set(raw) }
+    val inf = inflater.get()
+    inf.reset()
+    inf.setInput(z)
+    var off = 0
+    while (!inf.finished() && off < need) {
+      val n = inf.inflate(raw, off, need - off)
+      if (n == 0 && inf.needsInput()) return null // truncated
+      off += n
+    }
+    if (off != need) return null
+
+    // unfilter in place (bpp = 2)
+    val out = new Array[Float](w * h)
+    var ri = 0
+    var row = 0
+    while (row < h) {
+      val filt = raw(ri) & 0xff
+      val base = ri + 1
+      val prev = base - (rowBytes + 1)
+      filt match {
+        case 0 =>
+        case 1 => // Sub
+          var i = 2
+          while (i < rowBytes) {
+            raw(base + i) = (raw(base + i) + raw(base + i - 2)).toByte; i += 1
+          }
+        case 2 => // Up
+          if (row > 0) {
+            var i = 0
+            while (i < rowBytes) {
+              raw(base + i) = (raw(base + i) + raw(prev + i)).toByte; i += 1
+            }
+          }
+        case 3 => // Average
+          var i = 0
+          while (i < rowBytes) {
+            val a = if (i >= 2) raw(base + i - 2) & 0xff else 0
+            val b = if (row > 0) raw(prev + i) & 0xff else 0
+            raw(base + i) = (raw(base + i) + ((a + b) >> 1)).toByte; i += 1
+          }
+        case 4 => // Paeth
+          var i = 0
+          while (i < rowBytes) {
+            val a = if (i >= 2) raw(base + i - 2) & 0xff else 0
+            val b = if (row > 0) raw(prev + i) & 0xff else 0
+            val cc = if (i >= 2 && row > 0) raw(prev + i - 2) & 0xff else 0
+            val pp = a + b - cc
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - cc)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+            raw(base + i) = (raw(base + i) + pred).toByte; i += 1
+          }
+        case _ => return null
+      }
+      var c = 0
+      val o0 = row * w
+      while (c < w) {
+        val v = ((raw(base + 2 * c) & 0xff) << 8) | (raw(base + 2 * c + 1) & 0xff)
+        out(o0 + c) = (v - PngOffset).toFloat
+        c += 1
+      }
+      ri += rowBytes + 1
+      row += 1
     }
     out
   }
@@ -86,7 +244,7 @@ object ImageCodec {
   }
 
   def decodeJpg(bytes: Array[Byte]): Array[Float] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readVia(jpgReader, bytes)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val out = new Array[Float](w * h)

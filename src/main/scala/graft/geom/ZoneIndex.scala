@@ -52,15 +52,37 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
   @transient private var _tree: STRtree = _
   @transient private var _prepared: Array[PreparedGeometry] = _
   @transient private var _locators: Array[IndexedPointInAreaLocator] = _
+  // per zone: all rings (shells + holes across parts) as flat
+  // [x0,y0, x1,y1, ...] closed coordinate arrays — the scanline
+  // rasterizer's input
+  @transient private var _rings: Array[Array[Array[Double]]] = _
+  @transient private var _maxEdges: Array[Int] = _
+  // volatile publication flag: the hot path does ONE volatile read
+  // instead of taking a monitor (32 executor threads hammering a
+  // shared lock per tile serializes the scan stage)
+  @transient @volatile private var _ready: Boolean = false
 
-  // Build once per JVM. Every access goes through this synchronized
-  // gate: JTS PreparedGeometry / IndexedPointInAreaLocator build their
-  // internal indexes lazily on first use and that first touch is not
-  // thread-safe, so each structure is PRIMED here (inside the lock)
-  // with a dummy query; afterwards the structures are effectively
-  // immutable and safe for concurrent reads by executor threads.
-  private def ensure(): Unit = synchronized {
-    if (_tree == null) {
+  // Thread-local PreparedGeometry: JTS PreparedPolygon's
+  // getPointLocator/getIntersectionFinder are `synchronized` per
+  // instance, so a SHARED prepared geometry (a continent polygon hit
+  // by every tile task) becomes a contended monitor. Per-thread
+  // instances are lock-free; build cost is tiny relative to the PIP
+  // loop it short-circuits.
+  @transient private lazy val _tlPrepared
+      : ThreadLocal[Array[PreparedGeometry]] =
+    ThreadLocal.withInitial(() => new Array[PreparedGeometry](zones.length))
+
+  private def ensure(): Unit = {
+    if (_ready) return
+    buildSync()
+  }
+
+  // Build once per JVM. IndexedPointInAreaLocator builds its interval
+  // index lazily on first locate() and that first touch is guarded by
+  // an internal synchronized + volatile, so priming here makes all
+  // later concurrent locate() calls lock-free reads.
+  private def buildSync(): Unit = synchronized {
+    if (!_ready) {
       val t = new STRtree()
       val prep = new Array[PreparedGeometry](zones.length)
       val locs = new Array[IndexedPointInAreaLocator](zones.length)
@@ -77,10 +99,76 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
         i += 1
       }
       t.build()
+      val rings = new Array[Array[Array[Double]]](zones.length)
+      val maxE = new Array[Int](zones.length)
+      i = 0
+      while (i < zones.length) {
+        rings(i) = extractRings(zones(i).geom)
+        maxE(i) = rings(i).map(r => r.length / 2 - 1).sum
+        i += 1
+      }
       _tree = t
       _prepared = prep
       _locators = locs
+      _rings = rings
+      _maxEdges = maxE
+      _ready = true
     }
+  }
+
+  private def extractRings(g: Geometry): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def ringOf(r: LineString): Array[Double] = {
+      val cs = r.getCoordinateSequence
+      val a = new Array[Double](cs.size * 2)
+      var k = 0
+      while (k < cs.size) { a(2 * k) = cs.getX(k); a(2 * k + 1) = cs.getY(k); k += 1 }
+      a
+    }
+    def visit(geom: Geometry): Unit = geom match {
+      case p: Polygon =>
+        out += ringOf(p.getExteriorRing)
+        for (h <- 0 until p.getNumInteriorRing) out += ringOf(p.getInteriorRingN(h))
+      case gc: GeometryCollection =>
+        for (k <- 0 until gc.getNumGeometries) visit(gc.getGeometryN(k))
+      case _ => // points/lines contribute no area
+    }
+    visit(g)
+    out.toArray
+  }
+
+  /** Max boundary-edge count of zone i (crossing-buffer sizing). */
+  def maxEdges(i: Int): Int = { ensure(); _maxEdges(i) }
+
+  /** Scanline crossings of zone i's boundary with the horizontal line
+    * at `y`, written sorted into `buf`; returns the count (always
+    * even for valid polygons). Half-open edge rule `[ymin, ymax)` —
+    * the classic scanline rasterizer convention, equivalent to an
+    * even-odd interior test for any point not ON the boundary (the
+    * GDAL `ALL_TOUCHED=FALSE` center rule the reference relies on,
+    * runner.py:466). */
+  def crossings(i: Int, y: Double, buf: Array[Double]): Int = {
+    ensure()
+    val rings = _rings(i)
+    var n = 0
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var j = 0
+      val m = ring.length - 2
+      while (j < m) {
+        val ya = ring(j + 1); val yb = ring(j + 3)
+        if ((ya <= y && yb > y) || (yb <= y && ya > y)) {
+          val xa = ring(j); val xb = ring(j + 2)
+          buf(n) = xa + (y - ya) * (xb - xa) / (yb - ya)
+          n += 1
+        }
+        j += 2
+      }
+      r += 1
+    }
+    java.util.Arrays.sort(buf, 0, n)
+    n
   }
 
   def size: Int = zones.length
@@ -99,7 +187,17 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
     out
   }
 
+  /** Shared prepared geometry — fine for one-shot driver use; hot
+    * paths should use [[preparedTL]] (see _tlPrepared note). */
   def prepared(i: Int): PreparedGeometry = { ensure(); _prepared(i) }
+
+  /** Thread-local prepared geometry for executor hot loops. */
+  def preparedTL(i: Int): PreparedGeometry = {
+    ensure()
+    val a = _tlPrepared.get()
+    if (a(i) == null) a(i) = PreparedGeometryFactory.prepare(zones(i).geom)
+    a(i)
+  }
 
   /** Point-in-area locator for per-pixel-center containment tests. */
   def locator(i: Int): IndexedPointInAreaLocator = { ensure(); _locators(i) }

@@ -68,11 +68,19 @@ object ZonalEngine {
     }
 
     val bc = spark.sparkContext.broadcast(idx)
-    val partials = ZonalStats
-      .tilePartials(tiles, bc, grid, nodata, collectVals)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
+    // The decode+PIP kernel is the dominant cost: it must run exactly
+    // once. Per-fid stats are zone-cardinality small — cache THOSE and
+    // let every downstream consumer (fallback detection, rollup) read
+    // the small cache. The raw partials are only cached when the
+    // exact-percentile path needs their value chunks a second time.
+    val partials0 = ZonalStats.tilePartials(tiles, bc, grid, nodata,
+      collectVals)
+    val partials =
+      if (collectVals) partials0.persist(StorageLevel.MEMORY_AND_DISK)
+      else partials0
     val mainFidStats = ZonalStats.fidStats(partials)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mainFidStats.count() // materialize: one kernel pass fills the cache
 
     // ---- unset-FID envelope fallback (runner.py:697-811) ----
     val presentFids = mainFidStats.select("fid").as[Long].collect().toSet

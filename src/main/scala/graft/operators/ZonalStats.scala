@@ -86,8 +86,12 @@ object ZonalStats {
       if (gc0 <= gc1 && gr0 <= gr1) {
         val fullTile = gc0 == col0 && gc1 == col0 + grid.tileW - 1 &&
           gr0 == row0 && gr1 == row0 + grid.tileH - 1
-        val coversTile = fullTile && idx.prepared(zi).containsProperly(tileGeom)
-        val locator = if (coversTile) null else idx.locator(zi)
+        val coversTile = fullTile &&
+          idx.preparedTL(zi).containsProperly(tileGeom)
+        // scanline rasterization (GDAL-style): per pixel row, compute
+        // the polygon's x-crossings and fill whole center-intervals —
+        // O(rows × edges), no per-pixel point-in-polygon
+        val xbuf = if (coversTile) null else new Array[Double](idx.maxEdges(zi))
 
         var cnt = 0L; var nd = 0L
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
@@ -95,17 +99,15 @@ object ZonalStats {
         val vals = if (collectValues)
           new scala.collection.mutable.ArrayBuffer[Float](64) else null
 
+        val x0g = grid.gt.x0; val pxw = grid.gt.px
         var gr = gr0
         while (gr <= gr1) {
-          val y = grid.gt.pixelCenterY(gr)
           val rowBase = (gr - row0) * grid.tileW - col0
-          var gc = gc0
-          while (gc <= gc1) {
-            val inside = coversTile || {
-              c.x = grid.gt.pixelCenterX(gc); c.y = y
-              locator.locate(c) == Location.INTERIOR
-            }
-            if (inside) {
+
+          // accumulate pixels [a..b] of this row
+          def fill(a: Int, b: Int): Unit = {
+            var gc = a
+            while (gc <= b) {
               val v = px(rowBase + gc)
               cnt += 1
               val isNd = nodata.isDefined &&
@@ -122,8 +124,27 @@ object ZonalStats {
                 sumsq += (v * v).toDouble
                 if (vals != null) vals += v
               }
+              gc += 1
             }
-            gc += 1
+          }
+
+          if (coversTile) fill(gc0, gc1)
+          else {
+            val y = grid.gt.pixelCenterY(gr)
+            val n = idx.crossings(zi, y, xbuf)
+            var k = 0
+            while (k + 1 < n) {
+              // pixel centers STRICTLY inside (xa, xb) — boundary
+              // centers excluded (center rule; fixtures avoid ties)
+              val xa = xbuf(k); val xb = xbuf(k + 1)
+              val lo = (xa - x0g) / pxw - 0.5
+              val hi = (xb - x0g) / pxw - 0.5
+              val (loD, hiD) = if (pxw > 0) (lo, hi) else (hi, lo)
+              val a = math.max(gc0.toDouble, math.floor(loD) + 1).toInt
+              val b = math.min(gc1.toDouble, math.ceil(hiD) - 1).toInt
+              if (a <= b) fill(a, b)
+              k += 2
+            }
           }
           gr += 1
         }

@@ -56,3 +56,25 @@ class CodecSpec extends AnyFunSuite {
       ImageCodec.averageHash(b, 16, 16))
   }
 }
+
+class PngFastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("custom gray16 PNG decoder matches ImageIO bit-for-bit") {
+    val grid = graft.synth.Synth.testGrid
+    for (tr <- 0 until 8; tc <- 0 until 8 by 3) {
+      val px = graft.synth.Synth.tilePixels(grid, tr, tc)
+      val png = ImageCodec.encodePng(px, grid.tileW, grid.tileH)
+      val fast = ImageCodec.decodePngGray16(png)
+      assert(fast != null, "fast path must handle our own encoding")
+      assert(fast.toSeq === px.toSeq, s"tile ($tr,$tc)")
+    }
+  }
+
+  test("fast path rejects non-gray16 PNGs and falls back") {
+    // 8-bit RGB png via BufferedImage
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(ImageCodec.decodePngGray16(bos.toByteArray) === null)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def mkVecs(n: Int, dim: Int) = {
+    // deterministic pseudo-random unit-ish vectors + planted near-dups
+    val rows = (0 until n).map { i =>
+      val base = Array.tabulate(dim)(d =>
+        (((i * 131 + d * 37) % 97) / 48.5 - 1.0).toFloat)
+      Row(i.toLong, base)
+    } ++ (0 until 5).map { i => // planted: id 1000+i ≈ id i (tiny noise)
+      val base = Array.tabulate(dim)(d =>
+        (((i * 131 + d * 37) % 97) / 48.5 - 1.0).toFloat)
+      base(0) = base(0) + 0.01f
+      Row(1000L + i, base)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+  }
+
+  test("SRP bucketed near-dup finds the planted pairs brute force finds") {
+    val df = mkVecs(60, 16)
+    val brute = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      0.999).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = Similarity.srpNearDupPairs(df, "vec_id", "embedding",
+      dim = 16, numPlanes = 8, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs must be present in both (identical direction ⇒
+    // identical SRP bucket, so LSH recall is 1.0 for them)
+    for (i <- 0 until 5) {
+      assert(brute.contains((i.toLong, 1000L + i)))
+      assert(srp.contains((i.toLong, 1000L + i)))
+    }
+    // srp results are a subset of brute-force results (no false pairs)
+    assert(srp.subsetOf(brute))
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val df = mkVecs(3, 8)
+    val self = df.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+}
+
+class MultimodalStubsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pcm16 frame sampling is deterministic and counts frames") {
+    val bytes = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val (n, frames, sum) = MultimodalStubs.frameSample(bytes, stride = 4)
+    assert(n === 32) // 64 bytes = 32 samples
+    assert(frames === 8)
+    assert((n, frames, sum) === MultimodalStubs.frameSample(bytes.clone(), 4))
+  }
+
+  test("video frame checksums are stable and frame-count shaped") {
+    val bytes = Array.tabulate[Byte](1000)(i => (i * 13).toByte)
+    val cs = MultimodalStubs.videoFrameChecksums(bytes, 10)
+    assert(cs.length === 10)
+    assert(cs.toSeq === MultimodalStubs.videoFrameChecksums(bytes, 10).toSeq)
+    assert(MultimodalStubs.videoFrameChecksums(Array.empty, 10).isEmpty)
+  }
+}
+
+class OverlapKnnSpec extends SparkSpec {
+  test("overlap areas equal JTS driver-side computation") {
+    import spark.implicits._
+    val grid = graft.synth.Synth.testGrid
+    val a = graft.engine.Fixtures.zonesBasic(grid).filter(_.fid <= 5)
+    val b = a.map(z => {
+      val g = new org.locationtech.jts.geom.util.AffineTransformation()
+        .translate(5.0, 3.0).transform(z.geom)
+      graft.geom.Zone(z.fid + 100, z.group, g)
+    })
+    val aDf = a.map(z => (z.fid, graft.geom.Zone.toWkb(z.geom)))
+      .toDF("fid", "geom_wkb")
+    val bc = spark.sparkContext.broadcast(
+      new graft.geom.ZoneIndex(b.toArray))
+    val got = OverlapKnn.overlapPairs(spark, aDf, bc)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // brute-force all pairs driver-side
+    for (za <- a; zb <- b) {
+      val inter = za.geom.intersection(zb.geom).getArea
+      if (inter > 0)
+        assert(got((za.fid, zb.fid)) === inter, s"(${za.fid},${zb.fid})")
+      else assert(!got.contains((za.fid, zb.fid)))
+    }
+  }
+}
