@@ -46,6 +46,11 @@ object SparkEntry {
     "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
     "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
     "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
+    // scale-path / multimodal ops (rows-only where not SQL-expressible)
+    "q_zonal_approx_pct" -> ((s, _) => EQ.zonalApproxPercentile(s)),
+    "q_srp_neardup" -> ((s, sf) => DQ.srpNearDup(s, sf)),
+    "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
+    "q_video_stub" -> ((s, sf) => DQ.videoStub(s, sf)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,5 +81,6 @@ object SparkEntry {
     "q_lang_id" -> DQ.langIdSql,
     "q_embed_topk" -> DQ.embedTopKSql,
     "q_embed_neardup" -> DQ.embedNearDupSql,
+    "q_audio_framesample" -> DQ.audioFrameSampleSql,
   )
 }

@@ -247,4 +247,55 @@ SELECT * FROM (
   FROM embeddings a, embeddings b
   WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id
 ) WHERE score >= 0.3"""
+
+  // ---- SRP-bucketed ANN (scale path; rows-only driver check — the
+  // hyperplane arithmetic is not reasonably ANSI-SQL expressible) ----
+  def srpNearDup(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    Similarity.srpNearDupPairs(e, "vec_id", "embedding", dim = 64,
+      numPlanes = 10, threshold = 0.25)
+  }
+
+  // ---- multimodal: audio frame-sampling over a binary column ----
+  val AudioTracks = 50
+  val AudioSamples = 4000
+  val AudioStride = 4
+
+  def audioFrameSample(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val n = AudioSamples; val stride = AudioStride
+    spark.range(0, AudioTracks)
+      .map(k => (k, graft.synth.Synth.pcm16Track(k, n)))
+      .map { case (k, bytes) =>
+        val (ns, frames, checksum) =
+          graft.operators.MultimodalStubs.frameSample(bytes, stride)
+        (k, ns, frames, checksum)
+      }
+      .toDF("track_id", "n_samples", "n_frames", "checksum")
+  }
+
+  val audioFrameSampleSql: String = s"""
+WITH s AS (
+  SELECT t.track_id, r.i,
+    CAST(((t.track_id * 7919 + r.i * 37) % 1000) - 500 AS BIGINT) AS v
+  FROM range(0, $AudioTracks) t(track_id), range(0, $AudioSamples) r(i)
+)
+SELECT track_id,
+  CAST($AudioSamples AS BIGINT) AS n_samples,
+  CAST(COUNT(*) FILTER (WHERE i % $AudioStride = 0) AS BIGINT) AS n_frames,
+  CAST(SUM(v) FILTER (WHERE i % $AudioStride = 0) AS BIGINT) AS checksum
+FROM s GROUP BY 1"""
+
+  // ---- multimodal: video stub (rows-only; deterministic fake) ----
+  def videoStub(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 20)
+      .map { k =>
+        val bytes = graft.synth.Synth.pcm16Track(k + 1000, 2000)
+        val cs = graft.operators.MultimodalStubs
+          .videoFrameChecksums(bytes, 8)
+        (k, cs.length, cs.sum)
+      }
+      .toDF("video_id", "n_frames", "checksum_sum")
+  }
 }

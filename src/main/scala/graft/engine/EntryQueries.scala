@@ -105,6 +105,19 @@ LEFT JOIN (
   FROM asg GROUP BY grp
 ) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
 
+  /** Scale-path percentiles: Greenwald-Khanna sketch instead of the
+    * exact concatenate+sort (rows-only driver check; a ScalaTest
+    * bounds the sketch error against the exact path). */
+  def zonalApproxPercentile(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    ZonalEngine.run(spark, tiles, Fixtures.zonesBasic(grid), grid,
+      nodata = Some(-9999.0), percentilesRaw = Seq(5.0, 95.0),
+      exactPercentiles = false)
+      .select(col("group").as("grp"), col("valid_count").as("valid_cnt"),
+        col("p5"), col("p95"))
+  }
+
   /** Envelope-fallback path: sub-pixel slivers; the multipart zone's
     * LAST part supplies scalars, percentile chunks accumulate over
     * all parts (runner.py:783-811). Windows (precomputed from the

@@ -131,4 +131,27 @@ object Morton {
     }
     merged.toSeq
   }
+
+  /** [[coverRanges]] capped at `maxRanges` ranges (S2's max_cells
+    * idea): Morton order fragments rectangles into many small runs,
+    * which bloats pushed predicates; repeatedly merging the pair with
+    * the smallest gap trades a few false-positive cells for a compact
+    * filter. Correctness is unaffected — ranges only ever grow. */
+  def coverRangesCapped(lonMin: Double, lonMax: Double, latMin: Double,
+      latMax: Double, level: Int, maxRanges: Int = 16): Seq[(Long, Long)] = {
+    var r = coverRanges(lonMin, lonMax, latMin, latMax, level).toBuffer
+    while (r.size > maxRanges) {
+      var bestI = 0
+      var bestGap = Long.MaxValue
+      var i = 0
+      while (i < r.size - 1) {
+        val gap = r(i + 1)._1 - r(i)._2
+        if (gap < bestGap) { bestGap = gap; bestI = i }
+        i += 1
+      }
+      r(bestI) = (r(bestI)._1, r(bestI + 1)._2)
+      r.remove(bestI + 1)
+    }
+    r.toSeq
+  }
 }

@@ -42,10 +42,17 @@ object ZonalEngine {
   def normalizePercentiles(ps: Seq[Double]): Seq[Double] =
     ps.distinct.sorted
 
+  /** @param exactPercentiles true (default) = exact numpy-parity
+    *   percentiles (concatenate+sort per group — the reference's
+    *   semantics, runner.py:823-904; a giant group's values land on
+    *   one reducer). false = Spark's mergeable Greenwald-Khanna
+    *   sketch (`percentile_approx`): map-side summaries, bounded
+    *   memory, no skewed reducer — the 100 TB scale path. */
   def run(spark: SparkSession, tiles: DataFrame, zonesRaw: Seq[Zone],
       grid: RasterGrid, nodata: Option[Double],
       percentilesRaw: Seq[Double] = Nil,
-      simplify: Boolean = true): DataFrame = {
+      simplify: Boolean = true,
+      exactPercentiles: Boolean = true): DataFrame = {
     val percentiles = normalizePercentiles(percentilesRaw)
     val pKeys = percentileKeys(percentiles)
     val collectVals = percentiles.nonEmpty
@@ -108,7 +115,8 @@ object ZonalEngine {
         Some((withGroup, percentiles.toArray))
       }
 
-    val g = ZonalStats.groupStats(fidStatsAll, zonesDf, chunks)
+    val g = ZonalStats.groupStats(fidStatsAll, zonesDf, chunks,
+      exactPercentiles)
 
     // expand percentile array into pK columns; order columns
     val withP =

@@ -199,7 +199,8 @@ object ZonalStats {
     * optional (fid, vals) stream feeding exact group percentiles.
     */
   def groupStats(fidStatsDf: DataFrame, zonesDf: DataFrame,
-      chunks: Option[(DataFrame, Array[Double])]): DataFrame = {
+      chunks: Option[(DataFrame, Array[Double])],
+      exactPercentiles: Boolean = true): DataFrame = {
     // Inner join fid→group: zones broadcast (BuildRight is supported
     // for inner joins); fids with no stats are restored by the
     // zero-fill below, which adds exactly the zeros the reference's
@@ -216,14 +217,24 @@ object ZonalStats {
       max(when(validFid > 0, col("mx"))).as("max"))
 
     chunks.foreach { case (chunkDf, ps) =>
-      val agg = udaf(new PercentileAgg(ps))
       // rename the join key: both frames descend from zonesDf's group
       // attribute, and a same-lineage <=> join resolves ambiguously.
       // null-safe join: a NULL group value is a real group
       // (runner.py:981-985).
-      val pcts = chunkDf.groupBy("group")
-        .agg(agg(col("vals")).as("pcts"))
-        .withColumnRenamed("group", "p_group")
+      val pcts = (if (exactPercentiles) {
+        val agg = udaf(new PercentileAgg(ps))
+        chunkDf.groupBy("group").agg(agg(col("vals")).as("pcts"))
+      } else {
+        // scale path: explode to pixel rows; Spark's partial
+        // aggregation folds them into per-partition Greenwald-Khanna
+        // summaries map-side, so no group concentrates raw values on
+        // one reducer
+        val fractions = array(ps.map(p => lit(p / 100.0)): _*)
+        chunkDf.select(col("group"), explode(col("vals")).as("v"))
+          .groupBy("group")
+          .agg(percentile_approx(col("v").cast("double"), fractions,
+            lit(10000)).as("pcts"))
+      }).withColumnRenamed("group", "p_group")
       g = g.join(pcts, col("group") <=> col("p_group"), "left_outer")
         .drop("p_group")
     }

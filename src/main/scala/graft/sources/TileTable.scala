@@ -51,8 +51,9 @@ class TileTable(val root: String, val manifest: TileManifest) {
     val inflated = new Envelope(env)
     inflated.expandBy(math.abs(g.gt.px) * g.tileW / 2.0,
       math.abs(g.gt.py) * g.tileH / 2.0)
-    val ranges = Morton.coverRanges(inflated.getMinX, inflated.getMaxX,
-      inflated.getMinY, inflated.getMaxY, manifest.cellLevel)
+    val ranges = Morton.coverRangesCapped(inflated.getMinX,
+      inflated.getMaxX, inflated.getMinY, inflated.getMaxY,
+      manifest.cellLevel)
     val files = manifest.files.filter(f =>
       ranges.exists { case (lo, hi) => f.cellMax >= lo && f.cellMin <= hi })
     if (files.isEmpty) return read(spark).limit(0)

@@ -99,6 +99,19 @@ object Synth {
       .toDF()
   }
 
+  /** Deterministic PCM16-LE "audio track": sample i of track k is
+    * ((k*7919 + i*37) % 1000) - 500 — replicable in plain SQL. */
+  def pcm16Track(k: Long, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((k * 7919 + i * 37) % 1000) - 500).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Rect zone addressed in PIXEL space: covers pixel centers with
     * col in [c0, c1) and row in [r0, r1). Pixel-boundary vertices ⇒
     * no center ever lies on a zone edge (FIXTURES.md §2). */

@@ -109,3 +109,33 @@ class NumpyPercentileSpec extends org.scalatest.funsuite.AnyFunSuite {
         49392.91250000004))
   }
 }
+
+class ApproxPercentileSpec extends graft.SparkSpec {
+  test("sketch percentiles track exact percentiles within rank tolerance") {
+    val grid = graft.synth.Synth.testGrid
+    val zones = graft.engine.Fixtures.zonesBasic(grid)
+    val tiles = graft.synth.Synth.tiles(spark, grid)
+    def collectP(exact: Boolean) =
+      graft.operators.ZonalEngine.run(spark, tiles, zones, grid,
+        Some(-9999.0), Seq(5.0, 95.0), exactPercentiles = exact)
+        .collect().map { r =>
+          Option(r.getAs[String]("group")) ->
+            (Option(r.getAs[Any]("p5")), Option(r.getAs[Any]("p95")))
+        }.toMap
+    val ex = collectP(true)
+    val ap = collectP(false)
+    assert(ex.keySet === ap.keySet)
+    for (g <- ex.keySet) {
+      (ex(g), ap(g)) match {
+        case ((Some(e5), Some(e95)), (Some(a5), Some(a95))) =>
+          // pixel values are 0..96; GK at accuracy 10000 over ≤1k
+          // values is effectively an exact order statistic — allow
+          // one interpolation step of slack
+          assert(math.abs(e5.asInstanceOf[Double] - a5.asInstanceOf[Double]) <= 2.0, s"$g p5")
+          assert(math.abs(e95.asInstanceOf[Double] - a95.asInstanceOf[Double]) <= 2.0, s"$g p95")
+        case ((None, None), (None, None)) => // empty group both ways
+        case other => fail(s"$g: mismatched nullness $other")
+      }
+    }
+  }
+}
