@@ -6,8 +6,6 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator
-import org.locationtech.jts.geom.{Coordinate, Location}
 
 /** Per-(tile, fid) partial statistics — the Spark analogue of the
   * reference's per-block accumulator update
@@ -71,7 +69,6 @@ object ZonalStats {
     val gf = zoneGeomFactory
     val tileGeom = gf.toGeometry(env)
     val out = new scala.collection.mutable.ArrayBuffer[FidPartial](cands.length)
-    val c = new Coordinate()
 
     var ci = 0
     while (ci < cands.length) {

@@ -78,3 +78,23 @@ class PngFastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ImageCodec.decodePngGray16(bos.toByteArray) === null)
   }
 }
+
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("GraftExtensions register SQL functions") {
+    // use the shared session (extensions can't apply to an existing
+    // session, so exercise the runtime registration path too)
+    val spark = graft.SparkSpec.session
+    GraftExtensions.register(spark)
+    try {
+      val r = spark.sql(
+        """SELECT is_close(0.0500001, 0.05) AS c1,
+                  is_close(0.06, 0.05) AS c2,
+                  cell_id(10.0D, 20.0D, 8) AS cell,
+                  xxh64(CAST('abc' AS BINARY)) AS h""").collect()(0)
+      assert(r.getBoolean(0) === true)
+      assert(r.getBoolean(1) === false)
+      assert(r.getLong(2) === graft.geom.Morton.cellId(10.0, 20.0, 8))
+      assert(r.getLong(3) === XXHash64.hash("abc".getBytes("UTF-8")))
+    } finally { /* shared-JVM session: leave running for other suites */ }
+  }
+}
