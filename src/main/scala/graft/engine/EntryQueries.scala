@@ -105,6 +105,60 @@ LEFT JOIN (
   FROM asg GROUP BY grp
 ) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
 
+  /** Last-burn-wins rasterize semantics (the reference's job path,
+    * polygons_might_overlap=False): overlapping pixels belong to the
+    * zone burned last (here: highest fid — zones pass in fid order). */
+  def zonalLastWins(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    ZonalEngine.run(spark, tiles, Fixtures.zonesBasic(grid), grid,
+      nodata = Some(-9999.0), lastWins = true)
+      .select(col("group").as("grp"), col("count").as("cnt"),
+        col("nodata_count").as("nodata_cnt"),
+        col("valid_count").as("valid_cnt"), col("sum").as("sum_v"),
+        col("min").as("min_v"), col("max").as("max_v"))
+  }
+
+  val zonalLastWinsSql: String = {
+    val membership = Fixtures.zonesBasicSqlMembership.map {
+      case (fid, grp, cond) =>
+        val g = if (grp == null) "CAST(NULL AS VARCHAR)" else s"'$grp'"
+        s"SELECT $fid AS fid, $g AS grp, gr, gc, v FROM px WHERE $cond"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH px AS (
+  SELECT gr, gc, ${Synth.valueSql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+),
+asg AS (
+  $membership
+),
+own AS (
+  SELECT fid, grp, v FROM (
+    SELECT fid, grp, v,
+      row_number() OVER (PARTITION BY gr, gc ORDER BY fid DESC) AS rn
+    FROM asg
+  ) WHERE rn = 1
+),
+groups(grp) AS ${Fixtures.basicGroupsSql},
+g AS (
+  SELECT grp,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(count(*) FILTER (WHERE v = -9999.0) AS BIGINT) AS nd,
+    sum(v) FILTER (WHERE v <> -9999.0) AS sv,
+    min(v) FILTER (WHERE v <> -9999.0) AS mnv,
+    max(v) FILTER (WHERE v <> -9999.0) AS mxv
+  FROM own GROUP BY grp
+)
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt, 0) AS cnt,
+  COALESCE(g.nd, 0) AS nodata_cnt,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  COALESCE(g.sv, 0.0) AS sum_v,
+  g.mnv AS min_v,
+  g.mxv AS max_v
+FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
+  }
+
   /** Scale-path percentiles: Greenwald-Khanna sketch instead of the
     * exact concatenate+sort (rows-only driver check; a ScalaTest
     * bounds the sketch error against the exact path). */

@@ -48,11 +48,19 @@ object ZonalEngine {
     *   one reducer). false = Spark's mergeable Greenwald-Khanna
     *   sketch (`percentile_approx`): map-side summaries, bounded
     *   memory, no skewed reducer — the 100 TB scale path. */
+  /** @param lastWins false (default) = pair-join semantics: every
+    *   overlapping zone receives the pixel (the reference's
+    *   `polygons_might_overlap=True` disjoint-set mode). true =
+    *   last-burn-wins: zones rasterized in ONE pass in input order,
+    *   later zones overwrite earlier ones where they overlap — the
+    *   reference's production job path (`polygons_might_overlap=False`,
+    *   runner.py:483-484,960). */
   def run(spark: SparkSession, tiles: DataFrame, zonesRaw: Seq[Zone],
       grid: RasterGrid, nodata: Option[Double],
       percentilesRaw: Seq[Double] = Nil,
       simplify: Boolean = true,
-      exactPercentiles: Boolean = true): DataFrame = {
+      exactPercentiles: Boolean = true,
+      lastWins: Boolean = false): DataFrame = {
     val percentiles = normalizePercentiles(percentilesRaw)
     val pKeys = percentileKeys(percentiles)
     val collectVals = percentiles.nonEmpty
@@ -81,7 +89,7 @@ object ZonalEngine {
     // the small cache. The raw partials are only cached when the
     // exact-percentile path needs their value chunks a second time.
     val partials0 = ZonalStats.tilePartials(tiles, bc, grid, nodata,
-      collectVals)
+      collectVals, lastWins)
     val partials =
       if (collectVals) partials0.persist(StorageLevel.MEMORY_AND_DISK)
       else partials0

@@ -155,6 +155,114 @@ object ZonalStats {
     out.iterator
   }
 
+  /** Per-tile kernel with LAST-BURN-WINS semantics — the reference's
+    * job path (`polygons_might_overlap=False`, runner.py:483-484,960)
+    * rasterizes ALL zones in ONE pass, so where zones overlap the
+    * feature burned last owns the pixel. Implemented exactly like the
+    * rasterizer: an owner array per tile, zones burned in input order
+    * (callers order by fid to mirror CPython's small-int set
+    * iteration), later burns overwrite earlier ones.
+    */
+  def processTileLastWins(imageId: String, bytes: Array[Byte], fmt: String,
+      grid: RasterGrid, idx: ZoneIndex, nodata: Option[Double],
+      collectValues: Boolean): Iterator[FidPartial] = {
+    val (tr, tc) = parseTileId(imageId)
+    val env = grid.tileEnvelope(tr, tc)
+    val cands = idx.candidates(env) // ascending zone index = burn order
+    if (cands.isEmpty) return Iterator.empty
+
+    val col0 = tc * grid.tileW
+    val row0 = tr * grid.tileH
+    val nPx = grid.tileW * grid.tileH
+    val owner = new Array[Int](nPx)
+    java.util.Arrays.fill(owner, -1)
+    val tileGeom = zoneGeomFactory.toGeometry(env)
+    val x0g = grid.gt.x0; val pxw = grid.gt.px
+
+    var ci = 0
+    while (ci < cands.length) {
+      val zi = cands(ci)
+      val zenv = idx.zones(zi).geom.getEnvelopeInternal
+      val (zc0, zc1) = grid.centerColRange(zenv.getMinX, zenv.getMaxX)
+      val (zr0, zr1) = grid.centerRowRange(zenv.getMinY, zenv.getMaxY)
+      val gc0 = math.max(zc0, col0); val gc1 = math.min(zc1, col0 + grid.tileW - 1)
+      val gr0 = math.max(zr0, row0); val gr1 = math.min(zr1, row0 + grid.tileH - 1)
+      if (gc0 <= gc1 && gr0 <= gr1) {
+        val fullTile = gc0 == col0 && gc1 == col0 + grid.tileW - 1 &&
+          gr0 == row0 && gr1 == row0 + grid.tileH - 1
+        val coversTile = fullTile &&
+          idx.preparedTL(zi).containsProperly(tileGeom)
+        val xbuf = if (coversTile) null else new Array[Double](idx.maxEdges(zi))
+        var gr = gr0
+        while (gr <= gr1) {
+          val rowBase = (gr - row0) * grid.tileW - col0
+          def burn(a: Int, b: Int): Unit = {
+            var gc = a
+            while (gc <= b) { owner(rowBase + gc) = zi; gc += 1 }
+          }
+          if (coversTile) burn(gc0, gc1)
+          else {
+            val y = grid.gt.pixelCenterY(gr)
+            val n = idx.crossings(zi, y, xbuf)
+            var k = 0
+            while (k + 1 < n) {
+              val lo = (xbuf(k) - x0g) / pxw - 0.5
+              val hi = (xbuf(k + 1) - x0g) / pxw - 0.5
+              val (loD, hiD) = if (pxw > 0) (lo, hi) else (hi, lo)
+              val a = math.max(gc0.toDouble, math.floor(loD) + 1).toInt
+              val b = math.min(gc1.toDouble, math.ceil(hiD) - 1).toInt
+              if (a <= b) burn(a, b)
+              k += 2
+            }
+          }
+          gr += 1
+        }
+      }
+      ci += 1
+    }
+
+    // single accumulation pass over the owner array (runner.py:634-685)
+    val px = ImageCodec.decode(bytes, fmt)
+    val accs = new java.util.HashMap[Integer, Acc]()
+    var i = 0
+    while (i < nPx) {
+      val zi = owner(i)
+      if (zi >= 0) {
+        var a = accs.get(zi)
+        if (a == null) { a = new Acc(collectValues); accs.put(zi, a) }
+        a.add(px(i), nodata)
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[FidPartial](accs.size())
+    accs.forEach { (zi, a) =>
+      out += FidPartial(idx.zones(zi).fid, a.cnt, a.nd, a.mn, a.mx,
+        a.sum, a.sumsq,
+        if (a.vals == null) Array.empty[Float] else a.vals.toArray)
+    }
+    out.iterator
+  }
+
+  private final class Acc(collectValues: Boolean) {
+    var cnt = 0L; var nd = 0L
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var sum = 0.0; var sumsq = 0.0
+    val vals = if (collectValues)
+      new scala.collection.mutable.ArrayBuffer[Float](64) else null
+    def add(v: Float, nodata: Option[Double]): Unit = {
+      cnt += 1
+      if (nodata.isDefined && isCloseTo(v.toDouble, nodata.get)) nd += 1
+      else {
+        val vd = v.toDouble
+        if (vd < mn) mn = vd
+        if (vd > mx) mx = vd
+        sum += vd
+        sumsq += (v * v).toDouble
+        if (vals != null) vals += v
+      }
+    }
+  }
+
   private val zoneGeomFactory = new org.locationtech.jts.geom.GeometryFactory()
 
   /** Tile scan → per-(tile,fid) partials. `tiles` must have columns
@@ -162,13 +270,17 @@ object ZonalStats {
     * parquet column pruning still applies. */
   def tilePartials(tiles: DataFrame, bc: Broadcast[ZoneIndex],
       grid: RasterGrid, nodata: Option[Double],
-      collectValues: Boolean): Dataset[FidPartial] = {
+      collectValues: Boolean, lastWins: Boolean = false): Dataset[FidPartial] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     tiles.select("image_id", "bytes", "fmt")
       .as[(String, Array[Byte], String)]
       .flatMap { case (id, bytes, fmt) =>
-        processTile(id, bytes, fmt, grid, bc.value, nodata, collectValues)
+        if (lastWins)
+          processTileLastWins(id, bytes, fmt, grid, bc.value, nodata,
+            collectValues)
+        else
+          processTile(id, bytes, fmt, grid, bc.value, nodata, collectValues)
       }
   }
 

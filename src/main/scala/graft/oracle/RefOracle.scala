@@ -31,7 +31,8 @@ object RefOracle {
   def zonalStats(grid: RasterGrid, valueFn: (Int, Int) => Float,
       zonesRaw: Seq[Zone], nodata: Option[Double],
       percentilesRaw: Seq[Double] = Nil,
-      simplify: Boolean = true): Map[Option[String], GroupStats] = {
+      simplify: Boolean = true,
+      lastWins: Boolean = false): Map[Option[String], GroupStats] = {
     val percentiles = percentilesRaw.distinct.sorted
     val zones =
       if (simplify) zonesRaw.map(z =>
@@ -51,6 +52,26 @@ object RefOracle {
     val gf = new GeometryFactory()
     val acc = scala.collection.mutable.LinkedHashMap.empty[Long, FidAcc]
 
+    // last-burn-wins mode: per-pixel owner map, zones burned in input
+    // order, later burns overwrite (single-rasterize-pass semantics,
+    // runner.py:483-484)
+    val ownerOf: Option[(Int, Int) => Option[Long]] =
+      if (!lastWins) None
+      else {
+        val owner = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+        for (z <- zones) {
+          val env = z.geom.getEnvelopeInternal
+          val (c0, c1) = grid.centerColRange(env.getMinX, env.getMaxX)
+          val (r0, r1) = grid.centerRowRange(env.getMinY, env.getMaxY)
+          for (gr <- r0 to r1; gc <- c0 to c1) {
+            val p = gf.createPoint(new Coordinate(
+              grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr)))
+            if (z.geom.contains(p)) owner((gr, gc)) = z.fid
+          }
+        }
+        Some((gr, gc) => owner.get((gr, gc)))
+      }
+
     // "rasterize" pass: pixel center strictly interior (ALL_TOUCHED=FALSE)
     for (z <- zones) {
       val env = z.geom.getEnvelopeInternal
@@ -65,7 +86,11 @@ object RefOracle {
         while (gc <= c1) {
           val p = gf.createPoint(new Coordinate(
             grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr)))
-          if (z.geom.contains(p)) {
+          val assigned = ownerOf match {
+            case Some(f) => f(gr, gc).contains(z.fid)
+            case None => z.geom.contains(p)
+          }
+          if (assigned) {
             any = true
             val v = valueFn(gr, gc)
             a.count += 1

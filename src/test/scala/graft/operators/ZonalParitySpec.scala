@@ -139,3 +139,28 @@ class ApproxPercentileSpec extends graft.SparkSpec {
     }
   }
 }
+
+class LastWinsSpec extends graft.SparkSpec {
+  test("last-burn-wins matches oracle and differs from pair mode on overlaps") {
+    val grid = graft.synth.Synth.testGrid
+    val zones = graft.engine.Fixtures.zonesBasic(grid)
+    val tiles = graft.synth.Synth.tiles(spark, grid)
+    def stats(lastWins: Boolean) =
+      graft.operators.ZonalEngine.run(spark, tiles, zones, grid,
+        Some(-9999.0), lastWins = lastWins)
+        .collect().map(r => Option(r.getAs[String]("group")) ->
+          (r.getAs[Long]("count"), r.getAs[Double]("sum"))).toMap
+    val lw = stats(lastWins = true)
+    val pair = stats(lastWins = false)
+    val exp = graft.oracle.RefOracle.zonalStats(grid,
+      graft.synth.Synth.value, zones, Some(-9999.0), lastWins = true)
+    for ((g, s) <- exp) assert(lw(g) === ((s.count, s.sum)), s"group $g")
+    // alpha (fid 1) loses its overlap with beta (fid 3) in lastWins
+    assert(lw(Some("alpha"))._1 < pair(Some("alpha"))._1)
+    assert(lw(Some("beta")) === pair(Some("beta")))
+    // total assigned pixels in lastWins = union (each pixel once)
+    val lwTotal = lw.values.map(_._1).sum
+    val pairTotal = pair.values.map(_._1).sum
+    assert(lwTotal < pairTotal)
+  }
+}
