@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.geom.{RasterGrid, ZoneIndex}
+import graft.operators.ZonalStats
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming tile ingest — beyond the reference (which is pure batch,
+  * SURVEY.md "Streaming"): a training-data pipeline continuously
+  * receives new tiles (new acquisitions) and keeps per-zone statistics
+  * current. Structured Streaming gives this for free on top of the
+  * batch kernel:
+  *
+  *   tiles stream (image_id, bytes, fmt, event_time)
+  *     → per-tile flatMap kernel (same scanline code as batch)
+  *     → watermarked event-time window × fid aggregation
+  *     → incremental per-(window, fid) stats, late data dropped
+  *       after the watermark
+  *
+  * The aggregation is algebraic (sum/min/max), so Spark maintains it
+  * incrementally in the state store — no reprocessing of old tiles.
+  */
+object TileStream {
+
+  /** Streaming per-(window, fid) zonal statistics.
+    *
+    * @param tiles streaming DataFrame with (image_id, bytes, fmt,
+    *              event_time: timestamp)
+    * @param windowDuration e.g. "10 minutes"
+    * @param watermark      allowed lateness, e.g. "5 minutes"
+    */
+  def windowedFidStats(tiles: DataFrame, bc: Broadcast[ZoneIndex],
+      grid: RasterGrid, nodata: Option[Double], windowDuration: String,
+      watermark: String): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val withTime = tiles.select(col("image_id"), col("bytes"), col("fmt"),
+      col("event_time"))
+      .withWatermark("event_time", watermark)
+      .as[(String, Array[Byte], String, java.sql.Timestamp)]
+      .flatMap { case (id, bytes, fmt, t) =>
+        ZonalStats.processTile(id, bytes, fmt, grid, bc.value, nodata,
+          collectValues = false)
+          .map(p => (t, p.fid, p.cnt, p.nodata, p.mn, p.mx, p.sum, p.sumsq))
+      }
+      .toDF("event_time", "fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+
+    withTime
+      .groupBy(window(col("event_time"), windowDuration), col("fid"))
+      .agg(
+        sum("cnt").as("cnt"),
+        sum("nodata").as("nodata"),
+        min("mn").as("mn"),
+        max("mx").as("mx"),
+        sum("sum").as("sum"),
+        sum("sumsq").as("sumsq"))
+      .select(col("window.start").as("window_start"), col("fid"),
+        col("cnt"), col("nodata"), col("mn"), col("mx"), col("sum"),
+        col("sumsq"))
+  }
+}
