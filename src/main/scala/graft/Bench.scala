@@ -129,17 +129,18 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // N = 8 cores
+    // N = 8 cores; best-of-2 measured runs after a warmup (wall time
+    // at this level is noticeably page-cache/JIT sensitive)
     val s8 = session(8)
     runWorkload(s8, root) // warmup (JIT + page cache)
-    val t8 = runWorkload(s8, root)
+    val t8 = math.min(runWorkload(s8, root), runWorkload(s8, root))
     s8.stop()
     results("zonal_overlap_p8") = t8
 
     // 4N = 32 cores, same input
     val s32 = session(32)
     runWorkload(s32, root) // warmup
-    val t32 = runWorkload(s32, root)
+    val t32 = math.min(runWorkload(s32, root), runWorkload(s32, root))
     results("zonal_overlap_p32") = t32
 
     // a few representative operator queries at sf (driver-visible)
