@@ -20,6 +20,7 @@ object SparkEntry {
     "q_zonal_percentile" -> ((s, _) => EQ.zonalPercentile(s)),
     "q_zonal_fallback" -> ((s, _) => EQ.zonalFallback(s)),
     "q_zonal_lastwins" -> ((s, _) => EQ.zonalLastWins(s)),
+    "q_zonal_checkpointed" -> ((s, _) => EQ.zonalCheckpointed(s)),
     // spatial extras (north-star ops)
     "q_overlap_area" -> ((s, _) => EQ.overlapArea(s)),
     "q_knn_zones" -> ((s, sf) => EQ.knnZones(s, sf)),
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_zonal_percentile" -> EQ.zonalPercentileSql,
     "q_zonal_fallback" -> EQ.zonalFallbackSql,
     "q_zonal_lastwins" -> EQ.zonalLastWinsSql,
+    "q_zonal_checkpointed" -> EQ.zonalCheckpointedSql,
     "q_overlap_area" -> EQ.overlapAreaSql,
     "q_knn_zones" -> EQ.knnZonesSql,
     "q_tile_stats" -> EQ.tileStatsSql,

@@ -159,6 +159,47 @@ SELECT groups.grp AS grp,
 FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
   }
 
+  /** The full scale machinery under the driver's correctness gate:
+    * Iceberg-style tile table (cell-sorted parquet + manifest) →
+    * chunked CHECKPOINTED run with per-chunk lineage → resume-capable
+    * merge → rollup. Runs twice per Verify: the second invocation in
+    * a session resumes from the first's checkpoints (all chunks
+    * skipped), and must produce identical values — which the oracle
+    * comparison then pins against DuckDB. */
+  def zonalCheckpointed(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val base = java.nio.file.Files.createTempDirectory("graft-q-ckpt")
+    val root = s"$base/table"
+    graft.sources.TileTable.write(spark, Synth.tiles(spark, grid), grid,
+      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
+    val table = graft.sources.TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+    // first run computes all chunks...
+    Checkpoints.resumableGroupStats(spark, table, zones,
+      s"$base/ckpt", runId = "verify-1").count()
+    // ...second run must resume (skip every chunk) and yield the result
+    val res = Checkpoints.resumableGroupStats(spark, table, zones,
+      s"$base/ckpt", runId = "verify-2")
+    require(table.manifest.files.indices.forall(i =>
+      Checkpoints.lineageRunId(s"$base/ckpt", i).contains("verify-1")),
+      "resume failed: chunks were recomputed")
+    res.select(
+      col("group").as("grp"),
+      col("count").as("cnt"),
+      col("nodata_count").as("nodata_cnt"),
+      col("valid_count").as("valid_cnt"),
+      col("sum").as("sum_v"),
+      col("min").as("min_v"),
+      col("max").as("max_v"),
+      when(col("valid_count") > 0, col("sum") / col("valid_count"))
+        .as("mean_v"),
+      col("stdev").as("stdev_v"))
+  }
+
+  /** Same oracle as the direct pipeline — the checkpointed path must
+    * be value-identical. */
+  val zonalCheckpointedSql: String = zonalBasicSql
+
   /** Scale-path percentiles: Greenwald-Khanna sketch instead of the
     * exact concatenate+sort (rows-only driver check; a ScalaTest
     * bounds the sketch error against the exact path). */
