@@ -23,11 +23,14 @@ object ZonalJob {
     * field list, runner.py:849-861,917). */
   def singleRaster(spark: SparkSession, table: TileTable, zones: Seq[Zone],
       percentiles: Seq[Double]): GroupStats = {
+    // The reference job path hardcodes polygons_might_overlap=False
+    // (runner.py:960), i.e. a single last-burn-wins rasterize pass:
+    // overlap pixels belong only to the zone burned last.
     val df = ZonalEngine.run(spark, table.readPruned(spark, {
       val e = new org.locationtech.jts.geom.Envelope()
       zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
       e
-    }), zones, table.grid, table.nodata, percentiles)
+    }), zones, table.grid, table.nodata, percentiles, lastWins = true)
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
     df.collect().map { r =>

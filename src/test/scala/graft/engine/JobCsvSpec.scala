@@ -19,8 +19,9 @@ class JobCsvSpec extends SparkSpec {
     val pKeys = graft.operators.ZonalEngine.percentileKeys(
       percentiles.distinct.sorted)
     val stats = stems.zip(variants).map { case (stem, v) =>
+      // job path = reference polygons_might_overlap=False → lastWins
       val m = RefOracle.zonalStats(grid, Synth.valueFn(v), zones,
-        Some(-9999.0), percentiles)
+        Some(-9999.0), percentiles, lastWins = true)
       stem -> m.map { case (g, s) =>
         g -> (Map[String, Option[Any]](
           "min" -> s.min, "max" -> s.max, "count" -> Some(s.count),
