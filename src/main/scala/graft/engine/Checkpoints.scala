@@ -1,108 +1,193 @@
 package graft.engine
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import graft.functions.XXHash64
 import graft.geom.{Zone, ZoneIndex}
 import graft.operators.{ZonalEngine, ZonalStats}
-import graft.sources.TileTable
+import graft.sources.{TileFileStat, TileTable}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Chunked, resumable zonal-stats execution — the engine's answer to
   * the reference's TaskGraph memoization (`/root/reference/
   * runner.py:1093-1098`) and the north rule's "resumable from
   * checkpoint with per-partition lineage + metrics".
   *
-  * The tile table's manifest files are deterministic work units: each
-  * chunk (one manifest file ∩ zone envelope) writes its per-FID
-  * partial stats to `<ckptDir>/chunk=<i>/` together with a
-  * `lineage.json` recording the chunk's cell range, per-partition row
-  * counts, pixel counts and wall time. A restarted run skips every
-  * chunk whose lineage file exists, re-derives only the missing
-  * chunks, and the final merge is a pure reduction over chunk outputs
-  * — so interrupted runs resume to byte-identical results.
+  * A chunk is a CONTIGUOUS GROUP of the tile table's cell-sorted
+  * manifest files (not one file): with a 10^5–10^6-file manifest, one
+  * Spark job per file would serialize the cluster behind driver
+  * round-trips, so files are grouped into at most `maxChunks` jobs,
+  * each wide enough to saturate cluster parallelism while keeping
+  * checkpoint granularity. Each chunk writes its per-FID partial stats
+  * to `<ckptDir>/chunk=<i>/` together with a `lineage.json` recording
+  * the chunk's file list, input fingerprint, per-partition row/pixel
+  * counts and wall time. A restarted run skips every chunk whose
+  * lineage exists AND whose fingerprint matches the current inputs
+  * (zone set, file stats, flags) — a stale or foreign checkpoint dir
+  * is recomputed instead of silently merged. The final merge is a pure
+  * reduction over chunk outputs, so interrupted runs resume to
+  * byte-identical results. The kernel (decode + scanline assign) runs
+  * exactly once per chunk: partials are persisted across the metrics
+  * action and the parquet write.
   */
 object Checkpoints {
   private val mapper = new ObjectMapper()
 
   def chunkDir(ckptDir: String, i: Int): String = f"$ckptDir/chunk=$i%05d"
 
+  /** Group the manifest's cell-sorted files into at most `maxChunks`
+    * contiguous chunks (spatially coherent because files are
+    * cell-range sorted). */
+  def chunkFiles(files: Seq[TileFileStat],
+      maxChunks: Int): Seq[Seq[TileFileStat]] = {
+    val n = math.min(math.max(1, maxChunks), math.max(1, files.size))
+    if (files.isEmpty) Seq.empty
+    else {
+      val per = math.ceil(files.size.toDouble / n).toInt
+      files.grouped(per).toSeq
+    }
+  }
+
+  /** Deterministic fingerprint of everything a chunk's output depends
+    * on: the simplified zone set (fid, group, geometry WKB), the
+    * chunk's file stats, and the collectValues flag. Recorded in
+    * lineage.json; resume recomputes on mismatch. */
+  def fingerprint(zones: Seq[Zone], files: Seq[TileFileStat],
+      collectValues: Boolean): String = {
+    val sb = new StringBuilder
+    zones.foreach { z =>
+      sb.append(z.fid).append('|').append(z.group).append('|')
+        .append(XXHash64.hash(Zone.toWkb(z.geom))).append('\n')
+    }
+    files.foreach { f =>
+      sb.append(f.path).append('|').append(f.cellMin).append('|')
+        .append(f.cellMax).append('|').append(f.rows).append('\n')
+    }
+    sb.append(collectValues)
+    f"${XXHash64.hashString(sb.toString, 42L)}%016x"
+  }
+
+  /** Existence-only check (lineage written atomically last). */
   def isChunkDone(ckptDir: String, i: Int): Boolean =
     Files.exists(Paths.get(chunkDir(ckptDir, i), "lineage.json"))
 
+  /** Resume-safe check: lineage exists AND was produced from the same
+    * inputs. */
+  def isChunkDone(ckptDir: String, i: Int, expectedFp: String): Boolean =
+    lineageField(ckptDir, i, "fingerprint").contains(expectedFp)
+
   /** Run the per-FID partial-stats stage chunk by chunk with
     * checkpointing; returns the merged fid-level stats DataFrame
-    * (same shape as ZonalStats.fidStats) plus the chunk count that
-    * was actually (re)computed this run. */
+    * (same shape as ZonalStats.fidStats) plus the number of chunks
+    * actually (re)computed this run. */
   def chunkedFidStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
-      collectValues: Boolean = false): (DataFrame, Int) = {
+      collectValues: Boolean = false,
+      maxChunks: Int = 64): (DataFrame, Int) = {
     val idx = new ZoneIndex(zones.toArray)
     val bc = spark.sparkContext.broadcast(idx)
     val grid = table.grid
     val nodata = table.nodata
+    val chunks = chunkFiles(table.manifest.files, maxChunks)
     var computed = 0
 
-    table.manifest.files.zipWithIndex.foreach { case (f, i) =>
-      if (!isChunkDone(ckptDir, i)) {
-        val t0 = System.nanoTime()
-        val dir = chunkDir(ckptDir, i)
-        val tiles = spark.read.parquet(s"${table.root}/${f.path}")
-        val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
-          collectValues)
-        // per-partition lineage/metrics captured in the same pass
-        val metrics = partials
-          .groupBy(spark_partition_id().as("partition"))
-          .agg(count(lit(1)).as("partial_rows"),
-            sum("cnt").as("pixels"))
-          .collect()
-        partials.write.mode("overwrite").parquet(s"$dir/partials")
-        writeLineage(dir, i, f.path, f.cellMin, f.cellMax, runId,
-          (System.nanoTime() - t0) / 1e6,
-          metrics.map(r => (r.getInt(0), r.getLong(1),
-            if (r.isNullAt(2)) 0L else r.getLong(2))))
-        computed += 1
+    val progress = Progress.attach(spark, s"$ckptDir/progress.jsonl")
+    try {
+      chunks.zipWithIndex.foreach { case (files, i) =>
+        val fp = fingerprint(zones, files, collectValues)
+        if (!isChunkDone(ckptDir, i, fp)) {
+          val t0 = System.nanoTime()
+          val dir = chunkDir(ckptDir, i)
+          val tiles = spark.read.parquet(
+            files.map(f => s"${table.root}/${f.path}"): _*)
+          val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
+            collectValues).persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            // one kernel pass fills the cache; metrics + write both
+            // read the persisted partials
+            val metrics = partials
+              .groupBy(spark_partition_id().as("partition"))
+              .agg(count(lit(1)).as("partial_rows"),
+                sum("cnt").as("pixels"))
+              .collect()
+            partials.write.mode("overwrite").parquet(s"$dir/partials")
+            writeLineage(dir, i, files, fp, runId,
+              (System.nanoTime() - t0) / 1e6,
+              metrics.map(r => (r.getInt(0), r.getLong(1),
+                if (r.isNullAt(2)) 0L else r.getLong(2))))
+          } finally partials.unpersist()
+          computed += 1
+        }
       }
-    }
+    } finally Progress.detach(spark, progress)
 
     val all = spark.read.parquet(
-      table.manifest.files.indices
-        .map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
+      chunks.indices.map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
     (ZonalStats.fidStats(all.drop("vals")), computed)
   }
 
   /** Full resumable zonal run: chunked partials → merge → rollup via
-    * the standard engine path (fallback pass + zero-fill included). */
+    * the standard engine path (fallback pass + zero-fill included).
+    *
+    * @param keepCheckpoints false = the reference's
+    *   `clean_working_dir=True` (`runner.py:921-923`): materialize the
+    *   result, then delete the checkpoint dir.
+    */
   def resumableGroupStats(spark: SparkSession, table: TileTable,
-      zones: Seq[Zone], ckptDir: String, runId: String): DataFrame = {
+      zones: Seq[Zone], ckptDir: String, runId: String,
+      maxChunks: Int = 64,
+      keepCheckpoints: Boolean = true): DataFrame = {
     import spark.implicits._
     val zonesSimpl = zones.map(z =>
       z.copy(geom = Zone.simplifyHalfPixel(z.geom, table.grid.gt.px)))
     val (fidStats, _) = chunkedFidStats(spark, table, zonesSimpl, ckptDir,
-      runId)
+      runId, maxChunks = maxChunks)
     val zonesDf = zonesSimpl.map(z => (z.fid, Option(z.group)))
       .toDF("fid", "group")
-    // unset-FID fallback over the full (pruned) table, as in the
-    // non-chunked path
+    // unset-FID fallback, pruned to the union of the unset zones'
+    // envelopes (not a full table scan)
     val present = fidStats.select("fid").as[Long].collect().toSet
     val unset = zonesSimpl.filter(z => !present.contains(z.fid))
     val fidAll = if (unset.isEmpty) fidStats else {
-      val fb = ZonalEngine.fallbackStatsDf(spark, table.read(spark),
-        unset, table.grid, table.nodata)
+      val env = new org.locationtech.jts.geom.Envelope()
+      unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+      val fb = ZonalEngine.fallbackStatsDf(spark,
+        table.readPruned(spark, env), unset, table.grid, table.nodata)
       fb.map(fidStats.unionByName(_)).getOrElse(fidStats)
     }
-    ZonalStats.groupStats(fidAll, zonesDf, None)
+    val res = ZonalStats.groupStats(fidAll, zonesDf, None)
+    if (keepCheckpoints) res
+    else {
+      // result is dimension-sized: materialize, then GC the scratch
+      val rows = res.collect().toSeq
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), res.schema)
+      deleteRecursively(Paths.get(ckptDir))
+      out
+    }
   }
 
-  private def writeLineage(dir: String, chunk: Int, file: String,
-      cellMin: Long, cellMax: Long, runId: String, wallMs: Double,
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def writeLineage(dir: String, chunk: Int,
+      files: Seq[TileFileStat], fp: String, runId: String, wallMs: Double,
       partitions: Array[(Int, Long, Long)]): Unit = {
     val o = mapper.createObjectNode()
     o.put("chunk", chunk)
-    o.put("file", file)
-    o.put("cellMin", cellMin)
-    o.put("cellMax", cellMax)
+    val fa = o.putArray("files")
+    files.foreach(f => fa.add(f.path))
+    o.put("cellMin", files.map(_.cellMin).min)
+    o.put("cellMax", files.map(_.cellMax).max)
+    o.put("fingerprint", fp)
     o.put("runId", runId)
     o.put("wallMs", wallMs)
     val arr = o.putArray("partitions")
@@ -111,6 +196,7 @@ object Checkpoints {
       po.put("partition", p); po.put("partialRows", rows)
       po.put("pixels", px)
     }
+    Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, ".lineage.json.tmp")
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o))
@@ -118,9 +204,14 @@ object Checkpoints {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def lineageRunId(ckptDir: String, i: Int): Option[String] = {
+  private def lineageField(ckptDir: String, i: Int,
+      field: String): Option[String] = {
     val p = Paths.get(chunkDir(ckptDir, i), "lineage.json")
     if (!Files.exists(p)) None
-    else Some(mapper.readTree(Files.readString(p)).get("runId").asText())
+    else Option(mapper.readTree(Files.readString(p)).get(field))
+      .map(_.asText())
   }
+
+  def lineageRunId(ckptDir: String, i: Int): Option[String] =
+    lineageField(ckptDir, i, "runId")
 }

@@ -30,7 +30,8 @@ object ZonalJob {
       val e = new org.locationtech.jts.geom.Envelope()
       zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
       e
-    }), zones, table.grid, table.nodata, percentiles, lastWins = true)
+    }), zones, table.grid, table.nodata, percentiles, lastWins = true,
+      fallbackTiles = Some(env => table.readPruned(spark, env)))
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
     df.collect().map { r =>

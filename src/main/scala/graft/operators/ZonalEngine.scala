@@ -55,12 +55,21 @@ object ZonalEngine {
     *   later zones overwrite earlier ones where they overlap — the
     *   reference's production job path (`polygons_might_overlap=False`,
     *   runner.py:483-484,960). */
+  /** @param fallbackTiles when the caller owns a prunable source
+    *   (TileTable), a function producing a scan restricted to an
+    *   envelope — the unset-FID fallback pass then reads only the
+    *   tiles covering the fallback windows instead of re-scanning
+    *   `tiles`. At scale the windows are a sliver-sized subset of the
+    *   zones, so this turns an O(table) rescan into an O(windows)
+    *   read. */
   def run(spark: SparkSession, tiles: DataFrame, zonesRaw: Seq[Zone],
       grid: RasterGrid, nodata: Option[Double],
       percentilesRaw: Seq[Double] = Nil,
       simplify: Boolean = true,
       exactPercentiles: Boolean = true,
-      lastWins: Boolean = false): DataFrame = {
+      lastWins: Boolean = false,
+      fallbackTiles: Option[org.locationtech.jts.geom.Envelope => DataFrame]
+        = None): DataFrame = {
     val percentiles = normalizePercentiles(percentilesRaw)
     val pKeys = percentileKeys(percentiles)
     val collectVals = percentiles.nonEmpty
@@ -102,7 +111,17 @@ object ZonalEngine {
     val unset = zones.filter(z => !presentFids.contains(z.fid))
     val (fallbackStats, fallbackChunks) =
       if (unset.isEmpty) (None, None)
-      else runFallback(spark, tiles, unset, grid, nodata, collectVals)
+      else {
+        val fbSrc = fallbackTiles match {
+          case Some(pruned) =>
+            val env = new org.locationtech.jts.geom.Envelope()
+            unset.foreach(z =>
+              env.expandToInclude(z.geom.getEnvelopeInternal))
+            pruned(env)
+          case None => tiles
+        }
+        runFallback(spark, fbSrc, unset, grid, nodata, collectVals)
+      }
 
     val fidStatsAll = fallbackStats match {
       case Some(fb) => mainFidStats.unionByName(fb)
@@ -177,7 +196,18 @@ object ZonalEngine {
     } yield (z.fid, part, win)).toArray
     if (windows.isEmpty) return (None, None)
 
-    val bcWin = spark.sparkContext.broadcast(windows)
+    // STRtree over the window pixel rects: the kernel probes the tile's
+    // pixel range instead of scanning every window linearly — fallback
+    // cost becomes O(tiles_touched × log windows), not O(tiles × windows)
+    val tree = new org.locationtech.jts.index.strtree.STRtree()
+    windows.zipWithIndex.foreach { case ((_, _, w), i) =>
+      tree.insert(new org.locationtech.jts.geom.Envelope(
+        w.xoff.toDouble, (w.xoff + w.wx).toDouble,
+        w.yoff.toDouble, (w.yoff + w.wy).toDouble), Int.box(i))
+    }
+    tree.build() // immutable + thread-safe for queries after build
+
+    val bcWin = spark.sparkContext.broadcast((windows, tree))
     val gridB = grid
     val nodataB = nodata
     val cvB = collectVals
@@ -185,7 +215,8 @@ object ZonalEngine {
     val winPartials = tiles.select("image_id", "bytes", "fmt")
       .as[(String, Array[Byte], String)]
       .flatMap { case (id, bytes, fmt) =>
-        fallbackTileKernel(id, bytes, fmt, gridB, bcWin.value, nodataB, cvB)
+        val (ws, t) = bcWin.value
+        fallbackTileKernel(id, bytes, fmt, gridB, ws, t, nodataB, cvB)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -217,9 +248,11 @@ object ZonalEngine {
   }
 
   /** Per-tile kernel of the fallback pass: every pixel of the tile
-    * that falls in a (fid, part) window contributes — no PIP. */
+    * that falls in a (fid, part) window contributes — no PIP. Windows
+    * are probed through the broadcast STRtree keyed on pixel rects. */
   def fallbackTileKernel(imageId: String, bytes: Array[Byte], fmt: String,
       grid: RasterGrid, windows: Array[(Long, Int, PixelWindow)],
+      tree: org.locationtech.jts.index.strtree.STRtree,
       nodata: Option[Double], collectVals: Boolean): Iterator[WinPartial] = {
     val (tr, tc) = ZonalStats.parseTileId(imageId)
     val col0 = tc * grid.tileW; val row0 = tr * grid.tileH
@@ -227,8 +260,12 @@ object ZonalEngine {
     var px: Array[Float] = null
     val out = scala.collection.mutable.ArrayBuffer.empty[WinPartial]
 
-    var wi = 0
-    while (wi < windows.length) {
+    val cands = tree.query(new org.locationtech.jts.geom.Envelope(
+      col0.toDouble, (col1 + 1).toDouble,
+      row0.toDouble, (row1 + 1).toDouble))
+    var ci = 0
+    while (ci < cands.size()) {
+      val wi = cands.get(ci).asInstanceOf[Integer].intValue()
       val (fid, part, win) = windows(wi)
       val gc0 = math.max(col0, win.xoff)
       val gc1 = math.min(col1, win.xoff + win.wx - 1)
@@ -266,7 +303,7 @@ object ZonalEngine {
         out += WinPartial(fid, part, cnt, nd, mn, mx, sum, sumsq,
           if (vals == null) Array.empty[Float] else vals.toArray)
       }
-      wi += 1
+      ci += 1
     }
     out.iterator
   }

@@ -37,7 +37,6 @@ object TileStream {
     import spark.implicits._
     val withTime = tiles.select(col("image_id"), col("bytes"), col("fmt"),
       col("event_time"))
-      .withWatermark("event_time", watermark)
       .as[(String, Array[Byte], String, java.sql.Timestamp)]
       .flatMap { case (id, bytes, fmt, t) =>
         ZonalStats.processTile(id, bytes, fmt, grid, bc.value, nodata,
@@ -47,6 +46,12 @@ object TileStream {
       .toDF("event_time", "fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
 
     withTime
+      // watermark must be applied AFTER the typed flatMap: the
+      // SerializeFromObject it plans re-creates event_time, and a
+      // watermark set upstream would be dropped from the new column —
+      // leaving the windowed agg watermark-less (Append mode would
+      // throw; Update would never evict state)
+      .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDuration), col("fid"))
       .agg(
         sum("cnt").as("cnt"),

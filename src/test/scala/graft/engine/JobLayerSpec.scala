@@ -119,6 +119,71 @@ class CheckpointSpec extends SparkSpec {
     val v3 = direct.collect().map(r => (Option(r.getAs[String]("group")),
       r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
     assert(v1 === v3)
+
+    // progress feed: at least a summary line with stage counters
+    val prog = Paths.get(ckpt, "progress.jsonl")
+    assert(Files.exists(prog))
+    val progLines = Files.readAllLines(prog)
+    assert(progLines.stream().anyMatch(_.contains("\"kind\":\"summary\"")))
+  }
+
+  test("stale checkpoint (input fingerprint mismatch) is recomputed") {
+    val grid = Synth.testGrid
+    val root = Files.createTempDirectory("graft-ct2").toString
+    val ckpt = Files.createTempDirectory("graft-ck2").toString
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      root, cellLevel = 8, numFiles = 2)
+    val table = TileTable.open(root)
+    val zonesA = Fixtures.zonesBasic(grid)
+    // zone set B differs → same ckptDir must NOT be reused
+    val zonesB = zonesA.filter(_.fid != 1L)
+
+    Checkpoints.resumableGroupStats(spark, table, zonesA, ckpt,
+      runId = "runA").count()
+    val r2 = Checkpoints.resumableGroupStats(spark, table, zonesB, ckpt,
+      runId = "runB")
+    // every chunk recomputed under runB (fingerprints differ)
+    val nChunks = Checkpoints.chunkFiles(table.manifest.files, 64).size
+    (0 until nChunks).foreach { i =>
+      assert(Checkpoints.lineageRunId(ckpt, i) === Some("runB"))
+    }
+    // and the result matches a fresh direct run over zonesB
+    val direct = graft.operators.ZonalEngine.run(spark, table.read(spark),
+      zonesB, grid, Some(-9999.0))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (Option(r.getAs[String]("group")),
+        r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
+    assert(key(r2) === key(direct))
+  }
+
+  test("keepCheckpoints=false GCs the scratch dir after materializing") {
+    val grid = Synth.testGrid
+    val root = Files.createTempDirectory("graft-ct3").toString
+    val ckpt = Files.createTempDirectory("graft-ck3").toString + "/scratch"
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      root, cellLevel = 8, numFiles = 2)
+    val table = TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+    val res = Checkpoints.resumableGroupStats(spark, table, zones, ckpt,
+      runId = "gc1", keepCheckpoints = false)
+    assert(!Files.exists(Paths.get(ckpt)), "scratch dir not cleaned")
+    // result still consumable after GC and matches the direct path
+    val direct = graft.operators.ZonalEngine.run(spark, table.read(spark),
+      zones, grid, Some(-9999.0))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (Option(r.getAs[String]("group")),
+        r.getAs[Long]("count"), r.getAs[Double]("sum"))).toSet
+    assert(key(res) === key(direct))
+  }
+
+  test("chunkFiles groups contiguously and respects maxChunks") {
+    def mk(n: Int) = (0 until n).map(i =>
+      graft.sources.TileFileStat(s"f$i", i * 10L, i * 10L + 9, 5L))
+    assert(Checkpoints.chunkFiles(mk(4), 64).map(_.size) === Seq(1, 1, 1, 1))
+    val g = Checkpoints.chunkFiles(mk(10), 3)
+    assert(g.size === 3 && g.flatten === mk(10))
+    assert(Checkpoints.chunkFiles(mk(0), 8).isEmpty)
+    assert(Checkpoints.chunkFiles(mk(5), 1).map(_.size) === Seq(5))
   }
 }
 

@@ -56,4 +56,59 @@ class TileStreamSpec extends SparkSpec {
       assert(got === batch)
     } finally query.stop()
   }
+
+  test("append mode: watermark survives the flatMap, closed windows emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val grid = Synth.testGrid
+    val zones = Fixtures.zonesBasic(grid)
+      .map(z => z.copy(geom = Zone.simplifyHalfPixel(z.geom, grid.gt.px)))
+    val bc = spark.sparkContext.broadcast(new ZoneIndex(zones.toArray))
+
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("2026-01-01 00:30:00")
+    val rows = (for (tr <- 0 until grid.tilesY; tc <- 0 until grid.tilesX)
+      yield {
+        val t = Synth.makeTile(grid, tr, tc, "raw")
+        (t.image_id, t.bytes, t.fmt, base)
+      }).toVector
+
+    val input = MemoryStream[(String, Array[Byte], String,
+      java.sql.Timestamp)]
+    val streamDf = input.toDF()
+      .toDF("image_id", "bytes", "fmt", "event_time")
+    val out = TileStream.windowedFidStats(streamDf, bc, grid,
+      Some(-9999.0), "10 minutes", "5 minutes")
+
+    // Append mode REQUIRES a watermark on the agg — this .start()
+    // throws AnalysisException if the watermark was lost upstream
+    val query = out.writeStream
+      .format("memory").queryName("fidstats_append")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      // nothing emitted yet: the base window is still open
+      assert(spark.table("fidstats_append").count() === 0L)
+
+      // an event 30 min later pushes the watermark past the base
+      // window's end → the base window closes, its state is evicted
+      // and its finalized rows are appended
+      val t = Synth.makeTile(grid, 0, 0, "raw")
+      input.addData(Seq((t.image_id, t.bytes, t.fmt, late)))
+      query.processAllAvailable()
+
+      val got = spark.table("fidstats_append")
+        .where(org.apache.spark.sql.functions.col("window_start") === base)
+        .collect().map(r => r.getAs[Long]("fid") ->
+          (r.getAs[Long]("cnt"), r.getAs[Double]("sum"))).toMap
+      val batch = ZonalStats.fidStats(ZonalStats.tilePartials(
+        Synth.tiles(spark, grid), bc, grid, Some(-9999.0),
+        collectValues = false))
+        .collect().map(r => r.getAs[Long]("fid") ->
+          (r.getAs[Long]("cnt"), r.getAs[Double]("sum"))).toMap
+      assert(got === batch)
+    } finally query.stop()
+  }
 }
