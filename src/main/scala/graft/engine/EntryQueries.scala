@@ -159,6 +159,50 @@ SELECT groups.grp AS grp,
 FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
   }
 
+  /** Web-Mercator world grid: same 128×128 px / 16² tiling as
+    * [[Synth.testGrid]], geo-referenced in EPSG:3857 meters. */
+  val mercGrid: graft.geom.RasterGrid = {
+    val ext = 20037508.342789244
+    val px = 2.0 * ext / 128.0
+    graft.geom.RasterGrid(
+      graft.geom.GeoTransform(-ext, px, 0.0, ext, 0.0, -px),
+      widthPx = 128, heightPx = 128, tileW = 16, tileH = 16)
+  }
+
+  /** P7 CRS reprojection under the oracle gate: the aggregate vector
+    * is stored in EPSG:4326 while the raster grid is EPSG:3857, so the
+    * engine must reproject the zones into the raster SRS before the
+    * join (runner.py:307-341). The fixture zones are pixel-rect zones
+    * on the Mercator grid round-tripped through lon/lat, so the SAME
+    * pixel-membership oracle as q_zonal_basic applies. */
+  def zonalReprojected(spark: SparkSession): DataFrame = {
+    import graft.geom.Crs
+    val grid = mercGrid
+    val zonesMerc = Fixtures.zonesReproj(grid)
+    // the stored vector: inverse-projected into plain lon/lat
+    val zones4326 = zonesMerc.map(z => z.copy(geom =
+      Crs.transformGeom(z.geom, Crs.WebMercator, Crs.LonLat)))
+    // engine-side SRS decision + forward transform
+    val zones = Crs.projectZones(zones4326,
+      vectorSrs = Some("EPSG:4326"), rasterSrs = Some("EPSG:3857"))
+    val res = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones, grid,
+      nodata = Some(-9999.0))
+    res.select(
+      col("group").as("grp"),
+      col("count").as("cnt"),
+      col("nodata_count").as("nodata_cnt"),
+      col("valid_count").as("valid_cnt"),
+      col("sum").as("sum_v"),
+      col("min").as("min_v"),
+      col("max").as("max_v"),
+      when(col("valid_count") > 0, col("sum") / col("valid_count"))
+        .as("mean_v"),
+      col("stdev").as("stdev_v"))
+  }
+
+  /** Identical pixel membership → identical oracle. */
+  val zonalReprojectedSql: String = zonalBasicSql
+
   /** The full scale machinery under the driver's correctness gate:
     * Iceberg-style tile table (cell-sorted parquet + manifest) →
     * chunked CHECKPOINTED run with per-chunk lineage → resume-capable

@@ -71,6 +71,16 @@ object Fixtures {
     (9L, "lshape", "(gc >= 80 AND gc < 96 AND gr >= 8 AND gr < 16) OR " +
       "(gc >= 80 AND gc < 88 AND gr >= 16 AND gr < 32)"))
 
+  /** [[zonesBasic]] with the "outside" zone addressed in PIXEL space
+    * (cols 200.. of a 128-col grid) instead of hardcoded geographic
+    * coords — valid for ANY grid geo-referencing, so the same
+    * membership SQL covers reprojected (non-degree) grids too. */
+  def zonesReproj(grid: RasterGrid): Seq[Zone] = zonesBasic(grid).map {
+    case z if z.fid == 7L =>
+      Synth.rectPx(grid, 7, "outside", 200, 10, 210, 20)
+    case z => z
+  }
+
   /** All group labels of [[zonesBasic]] (incl. pixel-less ones) for
     * the zero-fill left join. */
   val basicGroupsSql: String =

@@ -147,7 +147,12 @@ object ZonalJob {
     val stats: Map[String, GroupStats] =
       job.rasterPaths.zip(stems).map { case (path, stem) =>
         val table = TileTable.open(path)
-        val zones = ZoneStore.load(spark, job.aggVector, job.aggField)
+        // P7: reproject the vector into THIS raster's SRS iff the SRS
+        // differ / vector SRS missing (runner.py:307-341) — per raster,
+        // since each raster may carry its own projection
+        val zones = graft.geom.Crs.projectZones(
+          ZoneStore.load(spark, job.aggVector, job.aggField),
+          ZoneStore.srs(job.aggVector), table.manifest.srs)
         stem -> singleRaster(spark, table, zones, percentiles)
       }.toMap
     val lines = renderCsv(job.aggField, job.rowColOrder, stems, stats, pKeys)

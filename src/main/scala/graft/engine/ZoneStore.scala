@@ -44,11 +44,29 @@ object ZoneStore {
   }
 
   def write(spark: SparkSession, zones: Seq[Zone], groupField: String,
-      path: String): Unit = {
+      path: String, srs: Option[String] = None): Unit = {
     import spark.implicits._
     zones.map(z => (z.fid, Option(z.group), Zone.toWkb(z.geom)))
       .toDF("fid", groupField, "geom_wkb")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    // layer SRS sidecar ("_"-prefixed → invisible to parquet readers)
+    srs.foreach { s =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_srs.json"),
+        s"""{"srs": "$s"}""")
+    }
+  }
+
+  /** The layer's SRS tag, if recorded (reference: layer spatial ref,
+    * `runner.py:331`). */
+  def srs(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path, "_srs.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val j = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Option(j.get("srs")).map(_.asText())
+    }
   }
 
   /** Load zones with `groupField` as the grouping value. */

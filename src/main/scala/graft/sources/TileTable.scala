@@ -29,7 +29,8 @@ final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
     rows: Long)
 
 final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
-    cellLevel: Int, files: Seq[TileFileStat])
+    cellLevel: Int, files: Seq[TileFileStat],
+    srs: Option[String] = None)
 
 class TileTable(val root: String, val manifest: TileManifest) {
 
@@ -82,7 +83,8 @@ object TileTable {
   def write(spark: SparkSession, tiles: DataFrame, grid: RasterGrid,
       nodata: Option[Double], root: String,
       cellLevel: Int = DefaultCellLevel,
-      numFiles: Int = 0): TileTable = {
+      numFiles: Int = 0,
+      srs: Option[String] = None): TileTable = {
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
     // tile-center lon/lat from image_id; exact arithmetic
@@ -115,7 +117,7 @@ object TileTable {
         TileFileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
       }.sortBy(_.cellMin).toSeq
 
-    val man = TileManifest(grid, nodata, cellLevel, stats)
+    val man = TileManifest(grid, nodata, cellLevel, stats, srs)
     writeManifest(root, man)
     new TileTable(root, man)
   }
@@ -129,6 +131,7 @@ object TileTable {
     g.put("widthPx", m.grid.widthPx); g.put("heightPx", m.grid.heightPx)
     g.put("tileW", m.grid.tileW); g.put("tileH", m.grid.tileH)
     m.nodata.foreach(nd => o.put("nodata", nd))
+    m.srs.foreach(s => o.put("srs", s))
     o.put("cellLevel", m.cellLevel)
     val arr = o.putArray("files")
     m.files.foreach { f =>
@@ -161,7 +164,8 @@ object TileTable {
         f.get("cellMax").asLong(), f.get("rows").asLong())
     }.toSeq
     new TileTable(root, TileManifest(grid, nodata,
-      j.get("cellLevel").asInt(), files))
+      j.get("cellLevel").asInt(), files,
+      Option(j.get("srs")).map(_.asText())))
   }
 
   def exists(root: String): Boolean =

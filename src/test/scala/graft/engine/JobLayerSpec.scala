@@ -39,6 +39,22 @@ class TileTableSpec extends SparkSpec {
     assert(t2.manifest.files.map(_.rows).sum === grid.numTiles)
   }
 
+  test("SRS tags roundtrip through manifest and zone sidecar") {
+    val dir = Files.createTempDirectory("graft-srs").toString
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      s"$dir/t", cellLevel = 8, numFiles = 1, srs = Some("EPSG:3857"))
+    assert(TileTable.open(s"$dir/t").manifest.srs === Some("EPSG:3857"))
+    // absent srs stays absent (back-compat with round-1 manifests)
+    assert(TileTable.open(root).manifest.srs === None)
+
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp",
+      s"$dir/z.parquet", srs = Some("EPSG:4326"))
+    assert(ZoneStore.srs(s"$dir/z.parquet") === Some("EPSG:4326"))
+    // the sidecar must not disturb the parquet read
+    assert(ZoneStore.load(spark, s"$dir/z.parquet", "grp").size ===
+      Fixtures.zonesBasic(grid).size)
+  }
+
   test("pruned read returns exactly the overlapping tiles") {
     val t = TileTable.open(root)
     // envelope of zone fid1: pixel cols [2,20), rows [2,12) → tiles
