@@ -159,6 +159,76 @@ SELECT groups.grp AS grp,
 FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
   }
 
+  /** Multi-band addressing under the oracle gate: a two-band tile
+    * table (band 1 = the standard field, band 2 = its own field with
+    * its OWN nodata −7777, mirroring per-band nodata in
+    * `runner.py:295-296`); zonal stats over `(table, band 2)` via the
+    * band-pruned scan + per-band nodata lookup. */
+  def zonalBand2(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val base = java.nio.file.Files.createTempDirectory("graft-q-band")
+    val root = s"$base/table"
+    graft.sources.TileTable.write(spark,
+      Synth.tilesMultiBand(spark, grid, Seq(1 -> 0, 2 -> 2)), grid,
+      nodata = Some(-9999.0), root, cellLevel = 8, numFiles = 2,
+      bands = Seq(graft.sources.BandInfo(1, Some(-9999.0)),
+        graft.sources.BandInfo(2, Some(-7777.0))))
+    val table = graft.sources.TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+    val env = new org.locationtech.jts.geom.Envelope()
+    zones.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val res = ZonalEngine.run(spark,
+      table.readPrunedBand(spark, env, band = 2), zones, grid,
+      nodata = table.nodataFor(2))
+    res.select(
+      col("group").as("grp"),
+      col("count").as("cnt"),
+      col("nodata_count").as("nodata_cnt"),
+      col("valid_count").as("valid_cnt"),
+      col("sum").as("sum_v"),
+      col("min").as("min_v"),
+      col("max").as("max_v"),
+      col("stdev").as("stdev_v"))
+  }
+
+  val zonalBand2Sql: String = {
+    val membership = Fixtures.zonesBasicSqlMembership.map {
+      case (fid, grp, cond) =>
+        val g = if (grp == null) "CAST(NULL AS VARCHAR)" else s"'$grp'"
+        s"SELECT $fid AS fid, $g AS grp, v FROM px WHERE $cond"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH px AS (
+  SELECT gr, gc, ${Synth.valueB2Sql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+),
+asg AS (
+  $membership
+),
+groups(grp) AS ${Fixtures.basicGroupsSql},
+g AS (
+  SELECT grp,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(count(*) FILTER (WHERE v = -7777.0) AS BIGINT) AS nd,
+    sum(v) FILTER (WHERE v <> -7777.0) AS sv,
+    sum(v*v) FILTER (WHERE v <> -7777.0) AS svv,
+    min(v) FILTER (WHERE v <> -7777.0) AS mnv,
+    max(v) FILTER (WHERE v <> -7777.0) AS mxv
+  FROM asg GROUP BY grp
+)
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt, 0) AS cnt,
+  COALESCE(g.nd, 0) AS nodata_cnt,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  COALESCE(g.sv, 0.0) AS sum_v,
+  g.mnv AS min_v,
+  g.mxv AS max_v,
+  CASE WHEN g.cnt - g.nd > 0 THEN
+    sqrt(greatest(g.svv / (g.cnt - g.nd)
+      - (g.sv / (g.cnt - g.nd)) * (g.sv / (g.cnt - g.nd)), 0.0))
+  END AS stdev_v
+FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
+  }
+
   /** Web-Mercator world grid: same 128×128 px / 16² tiling as
     * [[Synth.testGrid]], geo-referenced in EPSG:3857 meters. */
   val mercGrid: graft.geom.RasterGrid = {

@@ -28,9 +28,14 @@ import scala.jdk.CollectionConverters._
 final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
     rows: Long)
 
+/** Per-band metadata — the reference addresses rasters as
+  * `(path, band)` with per-band nodata (`runner.py:264-265,295-296`). */
+final case class BandInfo(band: Int, nodata: Option[Double])
+
 final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     cellLevel: Int, files: Seq[TileFileStat],
-    srs: Option[String] = None)
+    srs: Option[String] = None,
+    bands: Seq[BandInfo] = Nil)
 
 class TileTable(val root: String, val manifest: TileManifest) {
 
@@ -67,6 +72,22 @@ class TileTable(val root: String, val manifest: TileManifest) {
 
   def grid: RasterGrid = manifest.grid
   def nodata: Option[Double] = manifest.nodata
+
+  /** Per-band nodata; falls back to the table-level value for
+    * single-band tables (reference `raster_info["nodata"][band-1]`). */
+  def nodataFor(band: Int): Option[Double] =
+    manifest.bands.find(_.band == band).map(_.nodata)
+      .getOrElse(manifest.nodata)
+
+  /** Manifest-pruned scan of ONE band of a multi-band table. The
+    * band-equality predicate lands in the parquet scan; rows are
+    * sorted (band, cell) inside each file so both predicates prune
+    * row groups via min/max stats. */
+  def readPrunedBand(spark: SparkSession, env: Envelope,
+      band: Int): DataFrame = {
+    require(manifest.bands.nonEmpty, s"$root is not multi-band")
+    readPruned(spark, env).where(col("band") === band)
+  }
 }
 
 object TileTable {
@@ -84,7 +105,8 @@ object TileTable {
       nodata: Option[Double], root: String,
       cellLevel: Int = DefaultCellLevel,
       numFiles: Int = 0,
-      srs: Option[String] = None): TileTable = {
+      srs: Option[String] = None,
+      bands: Seq[BandInfo] = Nil): TileTable = {
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
     // tile-center lon/lat from image_id; exact arithmetic
@@ -100,10 +122,17 @@ object TileTable {
       gf.cell_id(cx, cy, lit(cellLevel)))
 
     val dataDir = s"$root/data"
-    withCell
-      .repartitionByRange(n, col("cell"))
-      .sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(dataDir)
+    // multi-band: range-partition by cell (file pruning stays band-
+    // agnostic), sort (band, cell) inside files so a band-equality
+    // predicate prunes row groups before the cell range does
+    val sorted =
+      if (bands.nonEmpty)
+        withCell.repartitionByRange(n, col("cell"))
+          .sortWithinPartitions("band", "cell")
+      else
+        withCell.repartitionByRange(n, col("cell"))
+          .sortWithinPartitions("cell")
+    sorted.write.mode("overwrite").parquet(dataDir)
 
     // per-file stats from the written files themselves
     val stats = spark.read.parquet(dataDir)
@@ -117,7 +146,7 @@ object TileTable {
         TileFileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
       }.sortBy(_.cellMin).toSeq
 
-    val man = TileManifest(grid, nodata, cellLevel, stats, srs)
+    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
     writeManifest(root, man)
     new TileTable(root, man)
   }
@@ -132,6 +161,14 @@ object TileTable {
     g.put("tileW", m.grid.tileW); g.put("tileH", m.grid.tileH)
     m.nodata.foreach(nd => o.put("nodata", nd))
     m.srs.foreach(s => o.put("srs", s))
+    if (m.bands.nonEmpty) {
+      val ba = o.putArray("bands")
+      m.bands.foreach { b =>
+        val bo = ba.addObject()
+        bo.put("band", b.band)
+        b.nodata.foreach(nd => bo.put("nodata", nd))
+      }
+    }
     o.put("cellLevel", m.cellLevel)
     val arr = o.putArray("files")
     m.files.foreach { f =>
@@ -163,9 +200,13 @@ object TileTable {
       TileFileStat(f.get("path").asText(), f.get("cellMin").asLong(),
         f.get("cellMax").asLong(), f.get("rows").asLong())
     }.toSeq
+    val bands = Option(j.get("bands")).map(_.elements().asScala.map { b =>
+      BandInfo(b.get("band").asInt(),
+        Option(b.get("nodata")).map(_.asDouble()))
+    }.toSeq).getOrElse(Nil)
     new TileTable(root, TileManifest(grid, nodata,
       j.get("cellLevel").asInt(), files,
-      Option(j.get("srs")).map(_.asText())))
+      Option(j.get("srs")).map(_.asText()), bands))
   }
 
   def exists(root: String): Boolean =

@@ -53,9 +53,26 @@ object Synth {
     s"CASE WHEN (($gr + $gc) % 31) = 0 THEN -9999.0 " +
       s"ELSE CAST((($gr*13 + $gc*29) % 89) AS DOUBLE) END"
 
-  /** Pixel function by variant id (0 = [[value]], 1 = [[value2]]). */
+  /** Second-band pixel field with its OWN nodata value (-7777):
+    * multi-band rasters carry per-band nodata in the reference
+    * (`runner.py:295-296`), so the fixture bands must differ. */
+  val NodataB2: Float = -7777.0f
+  def valueB2(gr: Int, gc: Int): Float = {
+    val v = value2(gr, gc)
+    if (v == Nodata) NodataB2 else v
+  }
+  def valueB2Sql(gr: String = "gr", gc: String = "gc"): String =
+    s"CASE WHEN (($gr + $gc) % 31) = 0 THEN -7777.0 " +
+      s"ELSE CAST((($gr*13 + $gc*29) % 89) AS DOUBLE) END"
+
+  /** Pixel function by variant id (0 = [[value]], 1 = [[value2]],
+    * 2 = [[valueB2]]). */
   def valueFn(variant: Int): (Int, Int) => Float =
-    if (variant == 0) value else value2
+    variant match {
+      case 0 => value
+      case 1 => value2
+      case 2 => valueB2
+    }
 
   def tilePixels(grid: RasterGrid, tr: Int, tc: Int,
       variant: Int = 0): Array[Float] = {
@@ -97,6 +114,27 @@ object Synth {
       .as[Long]
       .map(i => makeTile(g, (i / g.tilesX).toInt, (i % g.tilesX).toInt, f, v))
       .toDF()
+  }
+
+  /** Multi-band tile table: one row per (tile, band), with the band's
+    * pixel field chosen by variant. Schema = input_hint + `band`. */
+  def tilesMultiBand(spark: SparkSession, grid: RasterGrid,
+      bandVariants: Seq[(Int, Int)], fmt: String = "raw"): DataFrame = {
+    import spark.implicits._
+    val g = grid
+    val f = fmt
+    val bv = bandVariants
+    spark.range(0, grid.numTiles * bandVariants.size)
+      .as[Long]
+      .map { i =>
+        val ti = i / bv.size
+        val (band, variant) = bv((i % bv.size).toInt)
+        val t = makeTile(g, (ti / g.tilesX).toInt, (ti % g.tilesX).toInt,
+          f, variant)
+        (t.image_id, t.bytes, t.w, t.h, t.fmt, t.caption, t.phash, band)
+      }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "band")
   }
 
   /** Deterministic PCM16-LE "audio track": sample i of track k is
