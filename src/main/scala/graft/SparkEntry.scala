@@ -53,6 +53,8 @@ object SparkEntry {
     // scale-path / multimodal ops (rows-only where not SQL-expressible)
     "q_zonal_approx_pct" -> ((s, _) => EQ.zonalApproxPercentile(s)),
     "q_srp_neardup" -> ((s, sf) => DQ.srpNearDup(s, sf)),
+    "q_srp_multiprobe" -> ((s, sf) => DQ.srpMultiProbe(s, sf)),
+    "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
     "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
     "q_video_stub" -> ((s, sf) => DQ.videoStub(s, sf)),
   )
@@ -90,5 +92,9 @@ object SparkEntry {
     "q_embed_topk" -> DQ.embedTopKSql,
     "q_embed_neardup" -> DQ.embedNearDupSql,
     "q_audio_framesample" -> DQ.audioFrameSampleSql,
+    "q_zonal_approx_pct" -> EQ.zonalApproxPercentileSql,
+    "q_srp_neardup" -> DQ.srpNearDupSql,
+    "q_srp_multiprobe" -> DQ.srpMultiProbeSql,
+    "q_srp_banded" -> DQ.srpBandedSql,
   )
 }

@@ -248,12 +248,86 @@ SELECT * FROM (
   WHERE a.vec_id < 150 AND b.vec_id < 150 AND a.vec_id < b.vec_id
 ) WHERE score >= 0.3"""
 
-  // ---- SRP-bucketed ANN (scale path; rows-only driver check — the
-  // hyperplane arithmetic is not reasonably ANSI-SQL expressible) ----
+  // ---- SRP-bucketed ANN (scale path) ----
+  private val SrpDim = 64
+  private val SrpPlanes = 10
+  private val SrpThreshold = 0.25
+
   def srpNearDup(spark: SparkSession, sf: String): DataFrame = {
     val e = t(spark, sf, "embeddings")
-    Similarity.srpNearDupPairs(e, "vec_id", "embedding", dim = 64,
-      numPlanes = 10, threshold = 0.25)
+    Similarity.srpNearDupPairs(e, "vec_id", "embedding", SrpDim,
+      SrpPlanes, SrpThreshold)
+  }
+
+  /** Shared oracle prologue: SRP bucket per vector, replicating
+    * [[Similarity.planeComponent]]'s integer-lattice hyperplanes in
+    * plain SQL (embedding[d]·coeff summed over d, sign bit per
+    * plane). */
+  private def srpBucketSql: String = s"""
+pr AS (
+  SELECT e.vec_id, p.p,
+    SUM(CAST(e.embedding[CAST(d.i + 1 AS INT)] AS DOUBLE) *
+        ((CAST((1 + p.p * 7919 + d.i * 104729) % 1000003 AS DOUBLE)
+          / 500001.5) - 1.0)) AS proj
+  FROM embeddings e, range(0, $SrpPlanes) p(p), range(0, $SrpDim) d(i)
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN proj > 0
+      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM pr GROUP BY 1
+)"""
+
+  private def srpPairSql(bucketCond: String): String = s"""
+WITH $srpBucketSql
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) /
+    (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       FROM (SELECT unnest(a.embedding) AS x))) *
+     sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest(b.embedding) AS y)))) AS score
+  FROM embeddings a, embeddings b, bk ba, bk bb
+  WHERE a.vec_id < b.vec_id
+    AND ba.vec_id = a.vec_id AND bb.vec_id = b.vec_id
+    AND $bucketCond
+) WHERE score >= $SrpThreshold"""
+
+  val srpNearDupSql: String = srpPairSql("ba.bucket = bb.bucket")
+
+  /** Multi-probe SRP: Hamming-1 bucket probes for recall — candidate
+    * pairs are exactly those whose buckets differ in at most one bit,
+    * which the oracle states directly via bit_count(xor(...)). */
+  def srpMultiProbe(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    Similarity.srpNearDupPairsMultiProbe(e, "vec_id", "embedding",
+      SrpDim, SrpPlanes, SrpThreshold)
+  }
+
+  val srpMultiProbeSql: String =
+    srpPairSql("bit_count(xor(ba.bucket, bb.bucket)) <= 1")
+
+  /** Banded SRP (OR-amplification): candidate iff any contiguous
+    * band of sign bits matches exactly. */
+  private val SrpBands = 2 // 10 planes → 2 bands × 5 bits
+
+  def srpBanded(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    Similarity.srpBandedNearDupPairs(e, "vec_id", "embedding", SrpDim,
+      SrpPlanes, SrpBands, SrpThreshold)
+  }
+
+  val srpBandedSql: String = {
+    val bandBits = SrpPlanes / SrpBands
+    val mask = (1L << bandBits) - 1
+    val cond = (0 until SrpBands).map { b =>
+      s"((ba.bucket >> ${b * bandBits}) & $mask) = " +
+        s"((bb.bucket >> ${b * bandBits}) & $mask)"
+    }.mkString("(", " OR ", ")")
+    srpPairSql(cond)
   }
 
   // ---- multimodal: audio frame-sampling over a binary column ----

@@ -314,17 +314,60 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
     * be value-identical. */
   val zonalCheckpointedSql: String = zonalBasicSql
 
-  /** Scale-path percentiles: Greenwald-Khanna sketch instead of the
-    * exact concatenate+sort (rows-only driver check; a ScalaTest
-    * bounds the sketch error against the exact path). */
+  /** Histogram bounds for the approx-percentile query: value range
+    * [0, 97) and a power-of-two bin count so binWidth 97/32 = 3.03125
+    * is an exact dyadic — every midpoint computes bit-identically in
+    * Spark and DuckDB. */
+  private val HistLo = 0.0
+  private val HistHi = 97.0
+  private val HistBins = 32
+
+  /** Scale-path percentiles under the oracle gate: the deterministic
+    * mergeable fixed-bin histogram sketch (map-side (group, bin)
+    * partials; order-independent, unlike GK whose summary depends on
+    * merge order). GK (`percentile_approx`) remains the alternative
+    * scale path behind exactPercentiles=false without a histogram,
+    * bounded by a ScalaTest against the exact path. */
   def zonalApproxPercentile(spark: SparkSession): DataFrame = {
     val grid = Synth.testGrid
     val tiles = Synth.tiles(spark, grid)
     ZonalEngine.run(spark, tiles, Fixtures.zonesBasic(grid), grid,
       nodata = Some(-9999.0), percentilesRaw = Seq(5.0, 95.0),
-      exactPercentiles = false)
+      exactPercentiles = false,
+      histogram = Some((HistLo, HistHi, HistBins)))
       .select(col("group").as("grp"), col("valid_count").as("valid_cnt"),
         col("p5"), col("p95"))
+  }
+
+  val zonalApproxPercentileSql: String = {
+    val w = (HistHi - HistLo) / HistBins
+    def pctExpr(p: Int, name: String) =
+      s"""min(CASE WHEN cum >= greatest(1.0, ceil($p.0 * n / 100.0))
+      THEN $HistLo + (bin + 0.5) * $w END) AS $name"""
+    s"""$zonalPrologue,
+hb AS (
+  SELECT grp,
+    LEAST(${HistBins - 1}, GREATEST(0,
+      CAST(floor((v - $HistLo) / $w) AS INT))) AS bin,
+    count(*) AS c
+  FROM asg WHERE v <> -9999.0 GROUP BY 1, 2
+),
+hc AS (
+  SELECT grp, bin, c,
+    sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+    sum(c) OVER (PARTITION BY grp) AS n
+  FROM hb
+),
+hp AS (
+  SELECT grp, ${pctExpr(5, "p5")}, ${pctExpr(95, "p95")}
+  FROM hc GROUP BY grp
+)
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  hp.p5 AS p5, hp.p95 AS p95
+FROM groups
+LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp
+LEFT JOIN hp ON groups.grp IS NOT DISTINCT FROM hp.grp"""
   }
 
   /** Envelope-fallback path: sub-pixel slivers; the multipart zone's

@@ -96,4 +96,63 @@ object Similarity {
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
   }
+
+  /** Multi-probe SRP near-dup: each vector probes its exact bucket
+    * PLUS every Hamming-1 neighbor (one plane bit flipped), so a pair
+    * is a candidate iff its buckets differ in at most one bit. Recall
+    * rises steeply over the single-probe join — a near-threshold pair
+    * only needs numPlanes−1 of the hyperplanes to agree — at
+    * (numPlanes+1)× candidate-row cost, still a bucket equi-join (no
+    * all-pairs blowup). The probe side explodes; the build side keeps
+    * exact buckets, so every ≤1-bit pair is found from one direction
+    * or the other and `distinct()` dedups pairs found from both. */
+  def srpNearDupPairsMultiProbe(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numPlanes: Int,
+      threshold: Double): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+    val probeKeys = array(
+      (col("bucket") +:
+        (0 until numPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val a = withB.select(col("id").as("id_a"), col("v").as("va"),
+      explode(probeKeys).as("bucket"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score").distinct()
+  }
+
+  /** Banded SRP (OR-amplification, the LSH band trick applied to sign
+    * bits): the `numPlanes` bits split into `numBands` contiguous
+    * bands; a pair is a candidate iff ANY band matches exactly. Recall
+    * for a pair with per-plane agreement prob (1−θ/π) is
+    * 1−(1−(1−θ/π)^k)^b — tunable to ≥0.9 by adding planes/bands while
+    * staying a bucket equi-join (explode factor = numBands). */
+  def srpBandedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int, numBands: Int,
+      threshold: Double): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val bandBits = numPlanes / numBands
+    val mask = (1L << bandBits) - 1
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+    val bandKeys = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask))
+          .as("bits"))
+    }: _*)
+    val a = withB.select(col("id").as("id_a"), col("v").as("va"),
+      explode(bandKeys).as("key"))
+    val b = withB.select(col("id").as("id_b"), col("v").as("vb"),
+      explode(bandKeys).as("key"))
+    a.join(b, Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score").distinct()
+  }
 }

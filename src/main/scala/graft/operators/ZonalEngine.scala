@@ -69,7 +69,8 @@ object ZonalEngine {
       exactPercentiles: Boolean = true,
       lastWins: Boolean = false,
       fallbackTiles: Option[org.locationtech.jts.geom.Envelope => DataFrame]
-        = None): DataFrame = {
+        = None,
+      histogram: Option[(Double, Double, Int)] = None): DataFrame = {
     val percentiles = normalizePercentiles(percentilesRaw)
     val pKeys = percentileKeys(percentiles)
     val collectVals = percentiles.nonEmpty
@@ -143,7 +144,7 @@ object ZonalEngine {
       }
 
     val g = ZonalStats.groupStats(fidStatsAll, zonesDf, chunks,
-      exactPercentiles)
+      exactPercentiles, histogram)
 
     // expand percentile array into pK columns; order columns
     val withP =

@@ -309,7 +309,8 @@ object ZonalStats {
     */
   def groupStats(fidStatsDf: DataFrame, zonesDf: DataFrame,
       chunks: Option[(DataFrame, Array[Double])],
-      exactPercentiles: Boolean = true): DataFrame = {
+      exactPercentiles: Boolean = true,
+      histogram: Option[(Double, Double, Int)] = None): DataFrame = {
     // Inner join fid→group: zones broadcast (BuildRight is supported
     // for inner joins); fids with no stats are restored by the
     // zero-fill below, which adds exactly the zeros the reference's
@@ -333,6 +334,40 @@ object ZonalStats {
       val pcts = (if (exactPercentiles) {
         val agg = udaf(new PercentileAgg(ps))
         chunkDf.groupBy("group").agg(agg(col("vals")).as("pcts"))
+      } else if (histogram.isDefined) {
+        // deterministic mergeable scale path: fixed-bin histogram.
+        // Pixel rows fold into (group, bin) counts map-side (hash agg
+        // partials), so only bins-per-group rows shuffle; the result
+        // is order-independent and exactly replicable in external SQL
+        // (unlike GK, whose summary depends on merge order). Error
+        // bound: |est − exact| <= binWidth (midpoint rule).
+        val (lo, hi, bins) = histogram.get
+        val w = (hi - lo) / bins
+        import org.apache.spark.sql.expressions.Window
+        val binned = chunkDf
+          .select(col("group"), explode(col("vals")).as("v"))
+          .select(col("group"),
+            least(lit(bins - 1), greatest(lit(0),
+              floor((col("v").cast("double") - lo) / w).cast("int")))
+              .as("bin"))
+          .groupBy("group", "bin").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("group").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("group")
+        val withCum = binned
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wAll))
+        // percentile = midpoint of the bin holding the
+        // ceil(p·n/100)-th valid value (1-based, clamped to >= 1)
+        val aggsP = ps.zipWithIndex.map { case (p, i) =>
+          val rank = greatest(lit(1.0),
+            ceil(lit(p) * col("n") / 100.0))
+          min(when(col("cum") >= rank,
+            lit(lo) + (col("bin") + lit(0.5)) * w)).as(s"h_$i")
+        }
+        withCum.groupBy("group").agg(aggsP.head, aggsP.tail: _*)
+          .select(col("group"),
+            array(ps.indices.map(i => col(s"h_$i")): _*).as("pcts"))
       } else {
         // scale path: explode to pixel rows; Spark's partial
         // aggregation folds them into per-partition Greenwald-Khanna

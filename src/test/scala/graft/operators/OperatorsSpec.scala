@@ -42,6 +42,36 @@ class SimilaritySpec extends SparkSpec {
     assert(srp.subsetOf(brute))
   }
 
+  test("multi-probe SRP: recall >= 0.9 of exact pairs, beats single-probe") {
+    val df = mkVecs(200, 16)
+    val threshold = 0.95
+    def pairs(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(df, "vec_id",
+      "embedding", threshold))
+    val single = pairs(Similarity.srpNearDupPairs(df, "vec_id",
+      "embedding", dim = 16, numPlanes = 8, threshold = threshold))
+    val multi = pairs(Similarity.srpNearDupPairsMultiProbe(df, "vec_id",
+      "embedding", dim = 16, numPlanes = 8, threshold = threshold))
+    val banded = pairs(Similarity.srpBandedNearDupPairs(df, "vec_id",
+      "embedding", dim = 16, numPlanes = 16, numBands = 4,
+      threshold = threshold))
+    assert(exact.nonEmpty)
+    // no false positives in any (every emitted pair is score-checked)
+    assert(single.subsetOf(exact))
+    assert(multi.subsetOf(exact))
+    assert(banded.subsetOf(exact))
+    // Hamming-1 probing dominates the single bucket
+    assert(single.subsetOf(multi))
+    val recallS = single.size.toDouble / exact.size
+    val recallM = multi.size.toDouble / exact.size
+    val recallB = banded.size.toDouble / exact.size
+    assert(recallM >= recallS,
+      s"multi-probe recall $recallM < single-probe $recallS")
+    // the OR-amplified band join is the >= 0.9-recall configuration
+    assert(recallB >= 0.9, s"banded recall $recallB < 0.9")
+  }
+
   test("cosine of identical vectors is 1.0") {
     val df = mkVecs(3, 8)
     val self = df.select(
