@@ -56,7 +56,7 @@ object SparkEntry {
     "q_srp_multiprobe" -> ((s, sf) => DQ.srpMultiProbe(s, sf)),
     "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
     "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
-    "q_video_stub" -> ((s, sf) => DQ.videoStub(s, sf)),
+    "q_video_frames" -> ((s, sf) => DQ.videoFrames(s, sf)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +96,6 @@ object SparkEntry {
     "q_srp_neardup" -> DQ.srpNearDupSql,
     "q_srp_multiprobe" -> DQ.srpMultiProbeSql,
     "q_srp_banded" -> DQ.srpBandedSql,
+    "q_video_frames" -> DQ.videoFramesSql,
   )
 }

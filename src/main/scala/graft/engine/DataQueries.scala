@@ -360,16 +360,40 @@ SELECT track_id,
   CAST(SUM(v) FILTER (WHERE i % $AudioStride = 0) AS BIGINT) AS checksum
 FROM s GROUP BY 1"""
 
-  // ---- multimodal: video stub (rows-only; deterministic fake) ----
-  def videoStub(spark: SparkSession, sf: String): DataFrame = {
+  // ---- multimodal: video frame parse (REAL container split) ----
+  val VideoCount = 20
+  val VideoNFrames = 12
+  val VideoStride = 3
+  val VideoW = 8
+  val VideoH = 8
+
+  /** End-to-end video path: synthesize a concatenated-PNG stream per
+    * video, SPLIT it on the PNG signature, DECODE every sampled frame
+    * with the engine's PNG decoder, emit per-frame stats. The binary
+    * really is parsed — the oracle recomputes the pixel field from
+    * the generator formula. */
+  def videoFrames(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
-    spark.range(0, 20)
-      .map { k =>
-        val bytes = graft.synth.Synth.pcm16Track(k + 1000, 2000)
-        val cs = graft.operators.MultimodalStubs
-          .videoFrameChecksums(bytes, 8)
-        (k, cs.length, cs.sum)
+    val nf = VideoNFrames; val stride = VideoStride
+    val w = VideoW; val h = VideoH
+    spark.range(0, VideoCount)
+      .flatMap { k =>
+        val bytes = graft.synth.Synth.videoPngStream(k, nf, w, h)
+        graft.operators.Video.frameSampleStats(bytes, stride)
+          .map { case (f, npx, sum) => (k, f, npx, sum) }
       }
-      .toDF("video_id", "n_frames", "checksum_sum")
+      .toDF("video_id", "frame_idx", "n_px", "sum_px")
   }
+
+  val videoFramesSql: String = s"""
+WITH px AS (
+  SELECT v.k, f.j, r.r, c.c,
+    CAST((v.k * 31 + f.j * 17 + r.r * 7 + c.c * 3) % 251 AS DOUBLE) AS p
+  FROM range(0, $VideoCount) v(k), range(0, $VideoNFrames) f(j),
+       range(0, $VideoH) r(r), range(0, $VideoW) c(c)
+  WHERE f.j % $VideoStride = 0
+)
+SELECT k AS video_id, CAST(j AS INT) AS frame_idx,
+  CAST(count(*) AS BIGINT) AS n_px, SUM(p) AS sum_px
+FROM px GROUP BY 1, 2"""
 }

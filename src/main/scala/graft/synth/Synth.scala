@@ -150,6 +150,28 @@ object Synth {
     bb.array()
   }
 
+  /** Deterministic "video": `nFrames` gray16 PNG frames concatenated
+    * byte-wise (MJPEG-with-PNG layout; split on the PNG signature by
+    * [[graft.operators.Video]]). Pixel (r, c) of frame j in video k =
+    * (k·31 + j·17 + r·7 + c·3) mod 251 — replicable in plain SQL. */
+  def videoPngStream(k: Long, nFrames: Int, w: Int = 8,
+      h: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nFrames) {
+      val px = new Array[Float](w * h)
+      var i = 0
+      while (i < px.length) {
+        val r = i / w; val c = i % w
+        px(i) = ((k * 31 + j * 17 + r * 7 + c * 3) % 251).toFloat
+        i += 1
+      }
+      out.write(ImageCodec.encodePng(px, w, h))
+      j += 1
+    }
+    out.toByteArray
+  }
+
   /** Rect zone addressed in PIXEL space: covers pixel centers with
     * col in [c0, c1) and row in [r0, r1). Pixel-boundary vertices ⇒
     * no center ever lies on a zone edge (FIXTURES.md §2). */

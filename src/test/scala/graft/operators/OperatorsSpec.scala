@@ -90,12 +90,39 @@ class MultimodalStubsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((n, frames, sum) === MultimodalStubs.frameSample(bytes.clone(), 4))
   }
 
-  test("video frame checksums are stable and frame-count shaped") {
-    val bytes = Array.tabulate[Byte](1000)(i => (i * 13).toByte)
-    val cs = MultimodalStubs.videoFrameChecksums(bytes, 10)
-    assert(cs.length === 10)
-    assert(cs.toSeq === MultimodalStubs.videoFrameChecksums(bytes, 10).toSeq)
-    assert(MultimodalStubs.videoFrameChecksums(Array.empty, 10).isEmpty)
+  test("video: PNG-signature split recovers every frame, decode matches") {
+    val k = 3L
+    val stream = graft.synth.Synth.videoPngStream(k, nFrames = 7,
+      w = 8, h = 8)
+    val frames = Video.splitPngFrames(stream)
+    assert(frames.length === 7)
+    // concatenation is lossless: frames re-concatenate to the stream
+    assert(frames.toArray.flatten.sameElements(stream))
+    // each recovered frame decodes to the generator's pixel field
+    for (j <- frames.indices) {
+      val px = graft.functions.ImageCodec.decode(frames(j), "png")
+      assert(px.length === 64)
+      for (r <- 0 until 8; c <- 0 until 8) {
+        assert(px(r * 8 + c) ===
+          ((k * 31 + j * 17 + r * 7 + c * 3) % 251).toFloat, s"j=$j r=$r c=$c")
+      }
+    }
+    // degenerate inputs
+    assert(Video.splitPngFrames(Array.empty[Byte]).isEmpty)
+    assert(Video.splitPngFrames("not a png".getBytes).isEmpty)
+    // garbage prefix: frames still found from the first signature
+    val prefixed = "junk".getBytes ++ stream
+    assert(Video.splitPngFrames(prefixed).length === 7)
+  }
+
+  test("video frame sampling: every stride-th frame, stats correct") {
+    val stats = Video.frameSampleStats(
+      graft.synth.Synth.videoPngStream(5L, nFrames = 12), stride = 3)
+    assert(stats.map(_._1) === Seq(0, 3, 6, 9))
+    assert(stats.forall(_._2 == 64L))
+    val expSum = (for (r <- 0 until 8; c <- 0 until 8)
+      yield ((5L * 31 + 3 * 17 + r * 7 + c * 3) % 251).toDouble).sum
+    assert(stats.find(_._1 == 3).get._3 === expSum)
   }
 }
 
