@@ -28,11 +28,15 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // log4j honors all python-logging-style levels; map 1:1 instead
+    // of coercing (DEBUG really turns on Spark DEBUG logging)
     spark.sparkContext.setLogLevel(cfg.logLevel match {
-      case "DEBUG" => "INFO" // Spark has no DEBUG console default
-      case l @ ("WARN" | "WARNING") => "WARN"
-      case l => l.take(4) match { case "CRIT" | "FATA" => "ERROR"
-        case _ => "WARN" }
+      case "DEBUG" => "DEBUG"
+      case "INFO" => "INFO"
+      case "WARN" | "WARNING" => "WARN"
+      case "ERROR" => "ERROR"
+      case l if l.startsWith("CRIT") || l.startsWith("FATAL") => "ERROR"
+      case _ => "WARN"
     })
 
     val ts =

@@ -92,41 +92,59 @@ object Checkpoints {
     val grid = table.grid
     val nodata = table.nodata
     val chunks = chunkFiles(table.manifest.files, maxChunks)
-    var computed = 0
+    val computed = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    // Chunks are independent Spark jobs; submitting them from a
+    // bounded pool keeps several in flight so per-job fixed costs
+    // (scheduling, parquet commit) overlap with other chunks' compute
+    // instead of serializing the cluster behind the driver loop.
+    val concurrency = math.min(chunks.size, math.max(1,
+      sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "12").toInt))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+
+    def runChunk(files: Seq[graft.sources.TileFileStat], i: Int): Unit = {
+      val fp = fingerprint(zones, files, collectValues)
+      if (!isChunkDone(ckptDir, i, fp)) {
+        val t0 = System.nanoTime()
+        val dir = chunkDir(ckptDir, i)
+        val tiles = spark.read.parquet(
+          files.map(f => s"${table.root}/${f.path}"): _*)
+        val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
+          collectValues).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // one kernel pass fills the cache; metrics + write both
+          // read the persisted partials
+          val metrics = partials
+            .groupBy(spark_partition_id().as("partition"))
+            .agg(count(lit(1)).as("partial_rows"),
+              sum("cnt").as("pixels"))
+            .collect()
+          partials.write.mode("overwrite").parquet(s"$dir/partials")
+          writeLineage(dir, i, files, fp, runId,
+            (System.nanoTime() - t0) / 1e6,
+            metrics.map(r => (r.getInt(0), r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2))))
+        } finally partials.unpersist()
+        computed.incrementAndGet()
+      }
+    }
 
     val progress = Progress.attach(spark, s"$ckptDir/progress.jsonl")
     try {
-      chunks.zipWithIndex.foreach { case (files, i) =>
-        val fp = fingerprint(zones, files, collectValues)
-        if (!isChunkDone(ckptDir, i, fp)) {
-          val t0 = System.nanoTime()
-          val dir = chunkDir(ckptDir, i)
-          val tiles = spark.read.parquet(
-            files.map(f => s"${table.root}/${f.path}"): _*)
-          val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
-            collectValues).persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            // one kernel pass fills the cache; metrics + write both
-            // read the persisted partials
-            val metrics = partials
-              .groupBy(spark_partition_id().as("partition"))
-              .agg(count(lit(1)).as("partial_rows"),
-                sum("cnt").as("pixels"))
-              .collect()
-            partials.write.mode("overwrite").parquet(s"$dir/partials")
-            writeLineage(dir, i, files, fp, runId,
-              (System.nanoTime() - t0) / 1e6,
-              metrics.map(r => (r.getInt(0), r.getLong(1),
-                if (r.isNullAt(2)) 0L else r.getLong(2))))
-          } finally partials.unpersist()
-          computed += 1
-        }
+      val futures = chunks.zipWithIndex.map { case (files, i) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = runChunk(files, i)
+        })
       }
-    } finally Progress.detach(spark, progress)
+      futures.foreach(_.get()) // propagate the first failure
+    } finally {
+      pool.shutdownNow()
+      Progress.detach(spark, progress)
+    }
 
     val all = spark.read.parquet(
       chunks.indices.map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
-    (ZonalStats.fidStats(all.drop("vals")), computed)
+    (ZonalStats.fidStats(all.drop("vals")), computed.get())
   }
 
   /** Full resumable zonal run: chunked partials → merge → rollup via

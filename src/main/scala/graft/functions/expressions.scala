@@ -63,10 +63,14 @@ case class ImageDecode(left: Expression, right: Expression)
 }
 
 object ImageDecode {
-  /** Catalyst-facing decode: returns ArrayData of floats. */
+  /** Catalyst-facing decode: returns ArrayData of floats. Wrapped as
+    * UnsafeArrayData straight from the primitive float[] — no per-
+    * pixel boxing (a 128² tile would otherwise allocate 16k Float
+    * boxes per decode in expression pipelines). */
   def decodeInternal(bytes: Array[Byte], fmt: UTF8String): ArrayData = {
     val px = ImageCodec.decode(bytes, fmt.toString)
-    new GenericArrayData(px.map(f => f: Any))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(px)
   }
 }
 

@@ -273,7 +273,7 @@ object ZonalEngine {
       val gr0 = math.max(row0, win.yoff)
       val gr1 = math.min(row1, win.yoff + win.wy - 1)
       if (gc0 <= gc1 && gr0 <= gr1) {
-        if (px == null) px = ImageCodec.decode(bytes, fmt)
+        if (px == null) px = ImageCodec.decodeTL(bytes, fmt)
         var cnt = 0L; var nd = 0L
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
         var sum = 0.0; var sumsq = 0.0

@@ -63,7 +63,7 @@ object ZonalStats {
     val cands = idx.candidates(env)
     if (cands.isEmpty) return Iterator.empty
 
-    val px = ImageCodec.decode(bytes, fmt)
+    val px = ImageCodec.decodeTL(bytes, fmt)
     val col0 = tc * grid.tileW
     val row0 = tr * grid.tileH
     val gf = zoneGeomFactory
@@ -222,7 +222,7 @@ object ZonalStats {
     }
 
     // single accumulation pass over the owner array (runner.py:634-685)
-    val px = ImageCodec.decode(bytes, fmt)
+    val px = ImageCodec.decodeTL(bytes, fmt)
     val accs = new java.util.HashMap[Integer, Acc]()
     var i = 0
     while (i < nPx) {
