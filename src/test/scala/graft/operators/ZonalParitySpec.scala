@@ -138,6 +138,37 @@ class ApproxPercentileSpec extends graft.SparkSpec {
       }
     }
   }
+
+  test("histogram sketch percentiles within one bin width of exact") {
+    val grid = graft.synth.Synth.testGrid
+    val zones = graft.engine.Fixtures.zonesBasic(grid)
+    val tiles = graft.synth.Synth.tiles(spark, grid)
+    val (lo, hi, bins) = (0.0, 97.0, 32)
+    val w = (hi - lo) / bins
+    def collectP(hist: Boolean) =
+      graft.operators.ZonalEngine.run(spark, tiles, zones, grid,
+        Some(-9999.0), Seq(5.0, 95.0), exactPercentiles = !hist,
+        histogram = if (hist) Some((lo, hi, bins)) else None)
+        .collect().map { r =>
+          Option(r.getAs[String]("group")) ->
+            (Option(r.getAs[Any]("p5")), Option(r.getAs[Any]("p95")))
+        }.toMap
+    val ex = collectP(false)
+    val hg = collectP(true)
+    assert(ex.keySet === hg.keySet)
+    for (g <- ex.keySet) {
+      (ex(g), hg(g)) match {
+        case ((Some(e5), Some(e95)), (Some(h5), Some(h95))) =>
+          // bin midpoint vs interpolated order statistic: error ≤ w
+          assert(math.abs(e5.asInstanceOf[Double]
+            - h5.asInstanceOf[Double]) <= w, s"$g p5")
+          assert(math.abs(e95.asInstanceOf[Double]
+            - h95.asInstanceOf[Double]) <= w, s"$g p95")
+        case ((None, None), (None, None)) =>
+        case other => fail(s"$g: mismatched nullness $other")
+      }
+    }
+  }
 }
 
 class LastWinsSpec extends graft.SparkSpec {
