@@ -40,6 +40,9 @@ object SparkEntry {
     "q_percentile_quantity" -> ((s, sf) => GQ.percentileQuantity(s, sf)),
     "q_isclose_discount" -> ((s, sf) => GQ.iscloseDiscount(s, sf)),
     "q_cell_points" -> ((s, sf) => GQ.cellPoints(s, sf)),
+    "q_asof_clicks" -> ((s, sf) => GQ.asofClicks(s, sf)),
+    "q_range_bands" -> ((s, sf) => GQ.rangeBands(s, sf)),
+    "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
     // training-data pipeline operators
     "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
@@ -82,6 +85,9 @@ object SparkEntry {
     "q_percentile_quantity" -> GQ.percentileQuantitySql,
     "q_isclose_discount" -> GQ.iscloseDiscountSql,
     "q_cell_points" -> GQ.cellPointsSql,
+    "q_asof_clicks" -> GQ.asofClicksSql,
+    "q_range_bands" -> GQ.rangeBandsSql,
+    "q_ivf_topk" -> DQ.ivfTopKSql,
     "q_dedup_exact" -> DQ.dedupExactSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,

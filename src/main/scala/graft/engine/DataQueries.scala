@@ -330,6 +330,73 @@ SELECT * FROM (
     srpPairSql(cond)
   }
 
+  // ---- IVF (inverted-file) ANN top-k ----
+  private val IvfCentroids = 8
+  private val IvfProbes = 2
+  private val IvfK = 3
+
+  /** Coarse quantizer = the first `IvfCentroids` vectors (a
+    * deterministic stand-in for trained centroids); candidates join
+    * probe lists on `list_id` — nothing all-pairs. */
+  def ivfTopK(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfTopK(e, queries, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = IvfK, nProbe = IvfProbes)
+  }
+
+  val ivfTopKSql: String = {
+    def l2(a: String, b: String) =
+      s"""(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+           (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+         FROM (SELECT unnest($a) AS x, unnest($b) AS y))"""
+    def cos(a: String, b: String) =
+      s"""((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest($a) AS x, unnest($b) AS y)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT unnest($a) AS x))) *
+       sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest($b) AS y)))))"""
+    s"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < $IvfCentroids
+),
+asg AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2("e.embedding", "c.cvec")} ASC, c.cent_id ASC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT e.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2("e.embedding", "c.cvec")} ASC, c.cent_id ASC) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id >= 100 AND e.vec_id < 105
+  ) WHERE rn <= $IvfProbes
+),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+    ${cos("qe.embedding", "ce.embedding")} AS score
+  FROM probes q
+  JOIN asg a ON q.list_id = a.list_id AND q.vec_id <> a.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = a.vec_id
+)
+SELECT query_id, cand_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT query_id, cand_id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= $IvfK"""
+  }
+
   // ---- multimodal: audio frame-sampling over a binary column ----
   val AudioTracks = 50
   val AudioSamples = 4000

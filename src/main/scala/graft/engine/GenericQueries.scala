@@ -217,4 +217,54 @@ WITH pts AS (
 SELECT c_custkey, (""" + spread("qx", 0) + ") + (" + spread("qy", 1) +
       ") AS cell FROM q"
   }
+
+  // ---- as-of join (backward): purchase → latest prior click ----
+  def asofClicks(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "events")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    // unique (user, ts) on the right pins tie semantics
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("value").as("click_value"))
+      .withColumn("click_ts", col("ts"))
+    graft.operators.Joins.asofBackward(purchases, clicks, "user_id",
+      "ts", Seq("click_ts", "click_value"))
+  }
+
+  /** DuckDB has native ASOF JOIN — the oracle states the semantics
+    * directly. */
+  val asofClicksSql: String = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, ts AS click_ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  // ---- range join: event values vs overlapping nation bands ----
+  def rangeBands(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "events").select("event_id", "value")
+    val bands = t(spark, sf, "nation").select(
+      col("n_nationkey").as("band_id"),
+      (col("n_nationkey").cast("double") * 18.0).as("lo"),
+      (col("n_nationkey").cast("double") * 18.0 + 40.0).as("hi"))
+    graft.operators.Joins.rangeJoin(e, "value", bands, "lo", "hi",
+      bucketWidth = 40.0)
+      .select("event_id", "band_id", "value", "lo", "hi")
+  }
+
+  val rangeBandsSql: String = """
+WITH bands AS (
+  SELECT n_nationkey AS band_id,
+    CAST(n_nationkey AS DOUBLE) * 18.0 AS lo,
+    CAST(n_nationkey AS DOUBLE) * 18.0 + 40.0 AS hi
+  FROM nation
+)
+SELECT e.event_id, b.band_id, e.value, b.lo, b.hi
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi"""
 }

@@ -126,6 +126,46 @@ object Similarity {
       .select("id_a", "id_b", "score").distinct()
   }
 
+  /** Σ (aᵢ−bᵢ)² in double, sequential fold (order-stable). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+
+  /** IVF (inverted-file) top-k — the coarse-quantizer ANN family next
+    * to the SRP/LSH one: every candidate is assigned to its nearest
+    * centroid's list (L2, ties → smaller centroid id); a query probes
+    * its `nProbe` nearest lists and runs exact cosine top-k INSIDE the
+    * probed lists only. Centroids are a broadcast dimension table, the
+    * candidate↔probe match is a `list_id` equi-join — per-query cost
+    * is nProbe/K of brute force, and nothing all-pairs materializes.
+    * (Deterministic: callers supply the centroid table; no RNG.) */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val ranked = df.crossJoin(broadcast(centroids))
+        .withColumn("_d", dist2(col(vecCol), col(centVecCol)))
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("_d").asc, col(centIdCol).asc)
+      ranked.withColumn("_r", row_number().over(w))
+        .where(col("_r") <= keep)
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+          col(centIdCol).as("list_id"))
+    }
+    val cand = assign(candidates, "cand", keep = 1)
+    val qry = assign(queries, "query", keep = nProbe)
+    val scored = qry.join(cand, Seq("list_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("score", cosine(col("queryv"), col("candv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "score")
+  }
+
   /** Banded SRP (OR-amplification, the LSH band trick applied to sign
     * bits): the `numPlanes` bits split into `numBands` contiguous
     * bands; a pair is a candidate iff ANY band matches exactly. Recall

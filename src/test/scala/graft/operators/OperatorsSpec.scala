@@ -72,6 +72,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recallB >= 0.9, s"banded recall $recallB < 0.9")
   }
 
+  test("IVF top-k: subset of brute-force candidates, high recall@k") {
+    val df = mkVecs(120, 16)
+    val cents = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val queries = df.where(col("vec_id") >= 50 && col("vec_id") < 60)
+    def topk(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.cosineTopK(df, queries, "vec_id",
+      "embedding", k = 3))
+    val ivf = topk(Similarity.ivfTopK(df, queries, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 3, nProbe = 3))
+    assert(ivf.nonEmpty)
+    // every query answered with k results
+    assert(ivf.groupBy(_._1).forall(_._2.size == 3))
+    // probing half the lists recovers most of the exact top-k
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall@3 $recall < 0.7")
+  }
+
   test("cosine of identical vectors is 1.0") {
     val df = mkVecs(3, 8)
     val self = df.select(
