@@ -42,6 +42,9 @@ object SparkEntry {
     "q_cell_points" -> ((s, sf) => GQ.cellPoints(s, sf)),
     "q_asof_clicks" -> ((s, sf) => GQ.asofClicks(s, sf)),
     "q_range_bands" -> ((s, sf) => GQ.rangeBands(s, sf)),
+    "q_salted_agg" -> ((s, sf) => GQ.saltedAgg(s, sf)),
+    "q_sessionize" -> ((s, sf) => GQ.sessionize(s, sf)),
+    "q_rollup_pricing" -> ((s, sf) => GQ.rollupPricing(s, sf)),
     "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
     // training-data pipeline operators
     "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
@@ -87,6 +90,9 @@ object SparkEntry {
     "q_cell_points" -> GQ.cellPointsSql,
     "q_asof_clicks" -> GQ.asofClicksSql,
     "q_range_bands" -> GQ.rangeBandsSql,
+    "q_salted_agg" -> GQ.saltedAggSql,
+    "q_sessionize" -> GQ.sessionizeSql,
+    "q_rollup_pricing" -> GQ.rollupPricingSql,
     "q_ivf_topk" -> DQ.ivfTopKSql,
     "q_dedup_exact" -> DQ.dedupExactSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,

@@ -218,6 +218,91 @@ SELECT c_custkey, (""" + spread("qx", 0) + ") + (" + spread("qy", 1) +
       ") AS cell FROM q"
   }
 
+  // ---- salted two-stage aggregation (skew tool) ----
+  /** Result identical to the plain groupBy (the oracle states exactly
+    * that); the VALUE is the two-exchange plan that spreads a hot
+    * key's rows across 16 stage-one reducers. DECIMAL sums make the
+    * split order-independent and engine-exact. */
+  def saltedAgg(spark: SparkSession, sf: String): DataFrame = {
+    val li = t(spark, sf, "lineitem")
+      .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,2)"))
+    graft.operators.Skew.saltedSums(li, Seq("l_returnflag"),
+      Seq(sum(col("qty_dec")), sum(col("price_dec"))),
+      Seq("sum_qty", "sum_price"),
+      saltFrom = "l_orderkey", buckets = 16)
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"))
+  }
+
+  val saltedAggSql: String = """
+SELECT l_returnflag,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1"""
+
+  // ---- sessionization (gap-based) over the event stream ----
+  /** Classic lag/cumulative-flag sessionizer: a >30-minute silence
+    * starts a new session. Pure window functions — one shuffle on
+    * user_id, identical semantics in any SQL engine. */
+  def sessionize(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, sf, "events")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          1L).otherwise(0L))
+    val withSid = withGap.withColumn("session_id",
+      sum("new_session").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSid.groupBy("user_id", "session_id").agg(
+      count(lit(1)).as("n_events"),
+      min("ts").as("session_start"),
+      max("ts").as("session_end"))
+  }
+
+  val sessionizeSql: String = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN prev_ts IS NULL
+      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2"""
+
+  // ---- rollup (hierarchical totals) ----
+  def rollupPricing(spark: SparkSession, sf: String): DataFrame = {
+    val li = t(spark, sf, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus").agg(
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"),
+      count(lit(1)).as("cnt"))
+  }
+
+  val rollupPricingSql: String = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
   // ---- as-of join (backward): purchase → latest prior click ----
   def asofClicks(spark: SparkSession, sf: String): DataFrame = {
     val e = t(spark, sf, "events")
