@@ -144,14 +144,8 @@ object Bench {
       zones, ckpt, runId = "bench").count()
     require(n > 0)
     val wall = (System.nanoTime() - t0) / 1e9
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rm(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(ckpt))
+    graft.engine.Checkpoints.deleteRecursively(
+      java.nio.file.Paths.get(ckpt))
     wall
   }
 

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import graft.functions.XXHash64
 import graft.geom.{Zone, ZoneIndex}
 import graft.operators.{ZonalEngine, ZonalStats}
-import graft.sources.{TileFileStat, TileTable}
+import graft.sources.{TileFileStat, TileManifest, TileTable}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -51,22 +51,40 @@ object Checkpoints {
     }
   }
 
-  /** Deterministic fingerprint of everything a chunk's output depends
-    * on: the simplified zone set (fid, group, geometry WKB), the
-    * chunk's file stats, and the collectValues flag. Recorded in
-    * lineage.json; resume recomputes on mismatch. */
-  def fingerprint(zones: Seq[Zone], files: Seq[TileFileStat],
+  /** Digest of the CHUNK-INVARIANT inputs: the simplified zone set
+    * (fid, group, geometry WKB), the table's grid geo-referencing,
+    * nodata, SRS and band metadata, and the collectValues flag.
+    * Computed once per run (the zone hash is O(zones) — doing it per
+    * chunk would rebuild a multi-MB buffer chunks× times on the
+    * driver); per-chunk fingerprints mix in only the file stats.
+    * File pixel CONTENT is represented by the per-file
+    * (path, cellMin, cellMax, rows) stats — rewriting a table in
+    * place with identical stats defeats this (document: use a fresh
+    * table root or ckptDir when regenerating data). */
+  def contextDigest(zones: Seq[Zone], manifest: TileManifest,
       collectValues: Boolean): String = {
     val sb = new StringBuilder
     zones.foreach { z =>
       sb.append(z.fid).append('|').append(z.group).append('|')
         .append(XXHash64.hash(Zone.toWkb(z.geom))).append('\n')
     }
+    sb.append(manifest.grid.toString).append('\n')
+    sb.append(manifest.nodata).append('|')
+      .append(manifest.srs).append('|')
+      .append(manifest.bands.map(b => s"${b.band}:${b.nodata}")
+        .mkString(",")).append('|')
+    sb.append(collectValues)
+    f"${XXHash64.hashString(sb.toString, 42L)}%016x"
+  }
+
+  /** Per-chunk fingerprint: context digest + this chunk's file stats.
+    * Recorded in lineage.json; resume recomputes on mismatch. */
+  def fingerprint(ctx: String, files: Seq[TileFileStat]): String = {
+    val sb = new StringBuilder(ctx)
     files.foreach { f =>
       sb.append(f.path).append('|').append(f.cellMin).append('|')
         .append(f.cellMax).append('|').append(f.rows).append('\n')
     }
-    sb.append(collectValues)
     f"${XXHash64.hashString(sb.toString, 42L)}%016x"
   }
 
@@ -92,6 +110,7 @@ object Checkpoints {
     val grid = table.grid
     val nodata = table.nodata
     val chunks = chunkFiles(table.manifest.files, maxChunks)
+    val ctx = contextDigest(zones, table.manifest, collectValues)
     val computed = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // Chunks are independent Spark jobs; submitting them from a
@@ -103,7 +122,7 @@ object Checkpoints {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
 
     def runChunk(files: Seq[graft.sources.TileFileStat], i: Int): Unit = {
-      val fp = fingerprint(zones, files, collectValues)
+      val fp = fingerprint(ctx, files)
       if (!isChunkDone(ckptDir, i, fp)) {
         val t0 = System.nanoTime()
         val dir = chunkDir(ckptDir, i)
@@ -169,13 +188,8 @@ object Checkpoints {
     // envelopes (not a full table scan)
     val present = fidStats.select("fid").as[Long].collect().toSet
     val unset = zonesSimpl.filter(z => !present.contains(z.fid))
-    val fidAll = if (unset.isEmpty) fidStats else {
-      val env = new org.locationtech.jts.geom.Envelope()
-      unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
-      val fb = ZonalEngine.fallbackStatsDf(spark,
-        table.readPruned(spark, env), unset, table.grid, table.nodata)
-      fb.map(fidStats.unionByName(_)).getOrElse(fidStats)
-    }
+    val fidAll = ZonalEngine.mergeFallback(spark, fidStats, unset,
+      table.grid, table.nodata, env => table.readPruned(spark, env))
     val res = ZonalStats.groupStats(fidAll, zonesDf, None)
     if (keepCheckpoints) res
     else {
@@ -188,7 +202,7 @@ object Checkpoints {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.forEach(deleteRecursively(_)) finally s.close()

@@ -30,6 +30,10 @@ final class ProgressListener(path: String, minIntervalMs: Long)
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
     synchronized {
       val info = e.stageInfo
+      // retried/resubmitted stages fire this again with a higher
+      // attempt — count only the first attempt so cumulative
+      // records/bytes aren't double-counted
+      if (info.attemptNumber() > 0) return
       stages += 1
       tasks += info.numTasks
       val m = info.taskMetrics

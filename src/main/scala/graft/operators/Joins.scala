@@ -32,26 +32,29 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       ts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct so the matched right row is
+    // atomic: a right row whose payload VALUES are NULL still matches
+    // (its struct is non-NULL), and columns can never mix values from
+    // different right rows — exactly ASOF semantics
+    val rp = right.withColumn("_p", struct(payload.map(col): _*))
     val l = left
       .withColumn("_side", lit(1))
       .withColumn("_l", struct(leftCols.map(col): _*))
-      .select(Seq(col(key), col(ts), col("_side"), col("_l")) ++
-        payload.map(p => lit(null).cast(
-          right.schema(p).dataType).as(p)): _*)
-    val r = right
-      .select(Seq(col(key), col(ts), lit(0).as("_side"),
-        lit(null).cast(l.schema("_l").dataType).as("_l")) ++
-        payload.map(col): _*)
+      .select(col(key), col(ts), col("_side"), col("_l"),
+        lit(null).cast(rp.schema("_p").dataType).as("_p"))
+    val r = rp
+      .select(col(key), col(ts), lit(0).as("_side"),
+        lit(null).cast(l.schema("_l").dataType).as("_l"), col("_p"))
 
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
-      .select(Seq(col("_side"), col("_l")) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w)
-          .as(p)): _*)
+      .select(col("_side"), col("_l"),
+        last(col("_p"), ignoreNulls = true).over(w).as("_p"))
     filled.where(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_l.$c")) ++ payload.map(col): _*)
+      .select(leftCols.map(c => col(s"_l.$c")) ++
+        payload.map(p => col(s"_p.$p").as(p)): _*)
   }
 
   /** Range join: points against (possibly overlapping) intervals,

@@ -28,7 +28,13 @@ object Skew {
     */
   def saltedSums(df: DataFrame, keys: Seq[String], sums: Seq[Column],
       sumNames: Seq[String], saltFrom: String, buckets: Int): DataFrame = {
-    require(sums.length == sumNames.length)
+    require(sums.nonEmpty, "saltedSums needs at least one aggregate")
+    require(sums.length == sumNames.length,
+      "sums and sumNames must align")
+    require(buckets > 0, "buckets must be positive")
+    // SUM-mergeable aggregates only: stage two re-sums the partials,
+    // which is wrong for avg/min/count-distinct — compose those from
+    // salted sums/counts instead
     val salted = df.withColumn("_salt",
       pmod(hash(col(saltFrom)), lit(buckets)))
     val partial = salted

@@ -176,6 +176,23 @@ object ZonalEngine {
       nodata: Option[Double]): Option[DataFrame] =
     runFallback(spark, tiles, unset, grid, nodata, collectVals = false)._1
 
+  /** Pruned unset-FID fallback + merge — the ONE implementation of
+    * "scan only the tiles covering the unset zones' envelopes" shared
+    * by the checkpointed path (and mirrored by [[run]]'s inline
+    * percentile-aware variant). */
+  def mergeFallback(spark: SparkSession, fidStats: DataFrame,
+      unset: Seq[Zone], grid: RasterGrid, nodata: Option[Double],
+      tilesFor: org.locationtech.jts.geom.Envelope => DataFrame)
+      : DataFrame = {
+    if (unset.isEmpty) fidStats
+    else {
+      val env = new org.locationtech.jts.geom.Envelope()
+      unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+      fallbackStatsDf(spark, tilesFor(env), unset, grid, nodata)
+        .map(fidStats.unionByName(_)).getOrElse(fidStats)
+    }
+  }
+
   /** Envelope-window fallback for zones that captured no pixel:
     * per PART of each multi-geometry, stats over the WHOLE clamped
     * envelope window (no PIP — a reference quirk), scalars overwritten

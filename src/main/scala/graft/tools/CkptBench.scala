@@ -1,7 +1,7 @@
 package graft.tools
 
 /** Ad-hoc probe: checkpointed-path wall time at the bench table under
-  * the current GRAFT_CKPT_CONCURRENCY / GRAFT_CKPT_MAXCHUNKS env. */
+  * the current GRAFT_CKPT_CONCURRENCY env. */
 object CkptBench {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 2
@@ -11,7 +11,7 @@ object CkptBench {
       val t = graft.Bench.runCheckpointed(s, "/root/repo/data/bench_tiles")
       // scalastyle:off println
       println(f"CKPT $t%.2f s direct=$direct%.2f s " +
-        f"conc=${sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "6")}")
+        f"conc=${sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "12")}")
       // scalastyle:on println
     }
     s.stop()

@@ -38,6 +38,23 @@ class JoinsSpec extends SparkSpec {
     assert(out.size === 5) // exactly one output row per left row
   }
 
+  test("asofBackward: NULL payload in the LATEST right row is kept") {
+    import spark.implicits._
+    // the latest prior right row has rv = NULL: ASOF semantics return
+    // THAT row's NULL, not an older row's value backfilled over it
+    val left = Seq((1L, "a", ts(30), 1.0)).toDF("id", "k", "ts", "v")
+    val right = Seq(
+      ("a", ts(10), Some(5.0)),
+      ("a", ts(20), None: Option[Double]))
+      .toDF("k", "ts", "rv")
+      .withColumn("r_ts", col("ts"))
+    val row = Joins.asofBackward(left, right, "k", "ts",
+      Seq("r_ts", "rv")).collect().head
+    assert(row.getAs[java.sql.Timestamp]("r_ts") === ts(20))
+    assert(row.isNullAt(row.fieldIndex("rv")),
+      "older rv backfilled over the matched row's NULL")
+  }
+
   test("rangeJoin equals the theta join, incl. intervals spanning buckets") {
     import spark.implicits._
     val pts = (0 until 300).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
