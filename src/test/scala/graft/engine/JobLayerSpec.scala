@@ -192,6 +192,25 @@ class CheckpointSpec extends SparkSpec {
     assert(key(res) === key(direct))
   }
 
+  test("context digest is sensitive to nodata/grid/band/zone changes") {
+    val grid = Synth.testGrid
+    val zones = Fixtures.zonesBasic(grid)
+    def man(nodata: Option[Double] = Some(-9999.0),
+        bands: Seq[graft.sources.BandInfo] = Nil,
+        g: graft.geom.RasterGrid = grid) =
+      graft.sources.TileManifest(g, nodata, 8, Nil, None, bands)
+    val base = Checkpoints.contextDigest(zones, man(), collectValues = false)
+    assert(base === Checkpoints.contextDigest(zones, man(), false))
+    assert(base !== Checkpoints.contextDigest(zones, man(nodata = None),
+      false))
+    assert(base !== Checkpoints.contextDigest(zones,
+      man(bands = Seq(graft.sources.BandInfo(2, Some(-7777.0)))), false))
+    assert(base !== Checkpoints.contextDigest(zones,
+      man(g = graft.geom.RasterGrid(grid.gt, 256, 256, 16, 16)), false))
+    assert(base !== Checkpoints.contextDigest(zones.tail, man(), false))
+    assert(base !== Checkpoints.contextDigest(zones, man(), true))
+  }
+
   test("chunkFiles groups contiguously and respects maxChunks") {
     def mk(n: Int) = (0 until n).map(i =>
       graft.sources.TileFileStat(s"f$i", i * 10L, i * 10L + 9, 5L))
