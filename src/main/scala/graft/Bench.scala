@@ -226,11 +226,15 @@ object Bench {
     // nodes. The 8→32 pair is ALSO reported: it additionally absorbs
     // the shared-host ceiling (one socket's bandwidth split 32 ways)
     // and is the honest single-box upper-tier number.
-    val (cold2, t2) = runLevel(2, root, math.min(2, reps)) // ~100 s/run
+    // per-level rep budget: p32 gets the full median-of-`reps`; the
+    // slower levels get fewer reps — each p2 run is ~100 s, long
+    // enough to self-average, and the cold run is reported anyway.
+    // Keeps the whole bench inside ~10 min wall.
+    val (cold2, t2) = runLevel(2, root, math.max(1, reps - 4))
     results("zonal_overlap_p2_cold") = cold2
     results("zonal_overlap_p2") = t2
 
-    val (cold8, t8) = runLevel(8, root, reps)
+    val (cold8, t8) = runLevel(8, root, math.max(3, reps - 2))
     results("zonal_overlap_p8_cold") = cold8
     results("zonal_overlap_p8") = t8
 
