@@ -229,12 +229,14 @@ object Bench {
     // per-level rep budget: p32 gets the full median-of-`reps`; the
     // slower levels get fewer reps — each p2 run is ~100 s, long
     // enough to self-average, and the cold run is reported anyway.
-    // Keeps the whole bench inside ~10 min wall.
+    // Keeps the whole bench inside ~10 min wall. A user-requested
+    // budget BELOW the floors wins (smoke runs stay cheap).
     val (cold2, t2) = runLevel(2, root, math.max(1, reps - 4))
     results("zonal_overlap_p2_cold") = cold2
     results("zonal_overlap_p2") = t2
 
-    val (cold8, t8) = runLevel(8, root, math.max(3, reps - 2))
+    val (cold8, t8) = runLevel(8, root,
+      math.max(1, math.min(reps, math.max(3, reps - 2))))
     results("zonal_overlap_p8_cold") = cold8
     results("zonal_overlap_p8") = t8
 

@@ -36,6 +36,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object Checkpoints {
   private val mapper = new ObjectMapper()
 
+  /** Default chunk-count cap — shared with verification code that
+    * re-derives chunk indices (keep in sync by REFERENCE, not copy). */
+  val DefaultMaxChunks = 64
+
   def chunkDir(ckptDir: String, i: Int): String = f"$ckptDir/chunk=$i%05d"
 
   /** Group the manifest's cell-sorted files into at most `maxChunks`
@@ -104,7 +108,7 @@ object Checkpoints {
   def chunkedFidStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
       collectValues: Boolean = false,
-      maxChunks: Int = 64): (DataFrame, Int) = {
+      maxChunks: Int = DefaultMaxChunks): (DataFrame, Int) = {
     val idx = new ZoneIndex(zones.toArray)
     val bc = spark.sparkContext.broadcast(idx)
     val grid = table.grid
@@ -175,7 +179,7 @@ object Checkpoints {
     */
   def resumableGroupStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
-      maxChunks: Int = 64,
+      maxChunks: Int = DefaultMaxChunks,
       keepCheckpoints: Boolean = true): DataFrame = {
     import spark.implicits._
     val zonesSimpl = zones.map(z =>

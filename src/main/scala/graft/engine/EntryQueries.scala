@@ -294,7 +294,7 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
     // ...second run must resume (skip every chunk) and yield the result
     val res = Checkpoints.resumableGroupStats(spark, table, zones,
       s"$base/ckpt", runId = "verify-2")
-    val nChunks = Checkpoints.chunkFiles(table.manifest.files, 64).size
+    val nChunks = Checkpoints.chunkFiles(table.manifest.files, Checkpoints.DefaultMaxChunks).size
     require((0 until nChunks).forall(i =>
       Checkpoints.lineageRunId(s"$base/ckpt", i).contains("verify-1")),
       "resume failed: chunks were recomputed")

@@ -30,10 +30,11 @@ final class ProgressListener(path: String, minIntervalMs: Long)
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
     synchronized {
       val info = e.stageInfo
-      // retried/resubmitted stages fire this again with a higher
-      // attempt — count only the first attempt so cumulative
-      // records/bytes aren't double-counted
-      if (info.attemptNumber() > 0) return
+      // a retried stage fires completion once per attempt: count only
+      // SUCCESSFUL attempts (a failed attempt carries partial metrics
+      // and its successful retry carries the real ones), so cumulative
+      // records/bytes are neither double-counted nor under-reported
+      if (info.failureReason.isDefined) return
       stages += 1
       tasks += info.numTasks
       val m = info.taskMetrics

@@ -17,8 +17,11 @@ final case class SessionOut(user_id: Long,
   * or when the event-time watermark passes `last + gap` (timeout).
   *
   * Same session definition as the batch `GenericQueries.sessionize`
-  * (a silence STRICTLY longer than the gap splits sessions), so batch
-  * and stream agree on the same inputs.
+  * (a silence STRICTLY longer than the gap splits sessions): batch
+  * and stream agree exactly on in-order streams; late-but-in-watermark
+  * arrivals are folded best-effort (merged into the open session with
+  * its start extended backwards, or emitted as their own final
+  * session when older than the open session by more than the gap).
   */
 object SessionStream {
 
@@ -50,7 +53,13 @@ object SessionStream {
       state.remove()
     } else {
       // within a batch events arrive unordered — sort, then fold with
-      // the same strictly-greater gap rule as the batch sessionizer
+      // the same strictly-greater gap rule as the batch sessionizer.
+      // Cross-batch LATE arrivals (still inside the watermark):
+      //  - older than the open session by more than the gap → their
+      //    own immediately-final session (what batch would produce,
+      //    assuming no further late neighbors — best effort);
+      //  - inside the open session's span → merge, EXTENDING
+      //    session_start backwards so the emitted span covers them.
       var cur = state.getOption
       events.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
@@ -58,9 +67,12 @@ object SessionStream {
           case Some(s) if t - s.lastTs > gapMs =>
             out += closed(s)
             Some(SessionState(t, t, 1))
+          case Some(s) if s.sessionStart - t > gapMs =>
+            out += closed(SessionState(t, t, 1))
+            Some(s)
           case Some(s) =>
-            Some(SessionState(s.sessionStart, math.max(s.lastTs, t),
-              s.n + 1))
+            Some(SessionState(math.min(s.sessionStart, t),
+              math.max(s.lastTs, t), s.n + 1))
           case None => Some(SessionState(t, t, 1))
         }
       }

@@ -159,7 +159,7 @@ class CheckpointSpec extends SparkSpec {
     val r2 = Checkpoints.resumableGroupStats(spark, table, zonesB, ckpt,
       runId = "runB")
     // every chunk recomputed under runB (fingerprints differ)
-    val nChunks = Checkpoints.chunkFiles(table.manifest.files, 64).size
+    val nChunks = Checkpoints.chunkFiles(table.manifest.files, Checkpoints.DefaultMaxChunks).size
     (0 until nChunks).foreach { i =>
       assert(Checkpoints.lineageRunId(ckpt, i) === Some("runB"))
     }
