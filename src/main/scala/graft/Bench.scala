@@ -185,8 +185,11 @@ object Bench {
     * decode garbage) so the second level pays its full GCs — exactly
     * the cross-contamination a two-cluster comparison must not have.
     * The child inherits this JVM's flags (heap, GC, add-opens) and
-    * classpath. Returns (cold first-run, median of `reps` warm). */
-  def runLevel(cores: Int, root: String, reps: Int): (Double, Double) = {
+    * classpath. Returns (cold first-run, median of `reps` warm,
+    * every warm rep time — the spread is reported so a noisy host is
+    * distinguishable from a code regression). */
+  def runLevel(cores: Int, root: String,
+      reps: Int): (Double, Double, Seq[Double]) = {
     import scala.jdk.CollectionConverters._
     import scala.sys.process._
     val javaBin = s"${sys.props("java.home")}/bin/java"
@@ -201,9 +204,12 @@ object Bench {
       line => out.synchronized { out.append(line).append('\n') },
       _ => ())) // child stderr (Spark INFO) dropped
     require(code == 0, s"BenchLevel($cores) exited $code")
-    val Line = """BENCHLEVEL\{"cold":([-0-9.eE]+),"median":([-0-9.eE]+)\}""".r
+    val Line = ("""BENCHLEVEL\{"cold":([-0-9.eE]+),"median":([-0-9.eE]+),""" +
+      """"reps":\[([-0-9.eE,]*)\]\}""").r
     out.toString.linesIterator.collectFirst {
-      case Line(c, m) => (c.toDouble, m.toDouble)
+      case Line(c, m, rs) =>
+        (c.toDouble, m.toDouble,
+          rs.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
     }.getOrElse(sys.error(s"no BENCHLEVEL line from child ($cores cores)"))
   }
 
@@ -231,16 +237,16 @@ object Bench {
     // enough to self-average, and the cold run is reported anyway.
     // Keeps the whole bench inside ~10 min wall. A user-requested
     // budget BELOW the floors wins (smoke runs stay cheap).
-    val (cold2, t2) = runLevel(2, root, math.max(1, reps - 4))
+    val (cold2, t2, reps2) = runLevel(2, root, math.max(1, reps - 4))
     results("zonal_overlap_p2_cold") = cold2
     results("zonal_overlap_p2") = t2
 
-    val (cold8, t8) = runLevel(8, root,
+    val (cold8, t8, reps8) = runLevel(8, root,
       math.max(1, math.min(reps, math.max(3, reps - 2))))
     results("zonal_overlap_p8_cold") = cold8
     results("zonal_overlap_p8") = t8
 
-    val (cold32, t32) = runLevel(32, root, reps)
+    val (cold32, t32, reps32) = runLevel(32, root, reps)
     results("zonal_overlap_p32_cold") = cold32
     results("zonal_overlap_p32") = t32
 
@@ -276,18 +282,27 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     // driver contract: ONE JSON line (throughputs from WARM medians;
-    // cold first-runs reported separately in queries).
+    // cold first-runs reported separately in queries). Per-rep wall
+    // times are included so spread vs regression is decidable, and the
+    // same line is also written to BENCH_LINE.json — downstream parsers
+    // get a clean file even if stdout is prefixed/interleaved.
     // scaling_efficiency = the N→4N (2 vs 8 cores) pair per the north
     // rule; the bandwidth-ceiling-limited 8→32 pair is reported
     // alongside (see BENCH/BASELINE.md for the analysis).
-    println(s"""{"metric":"tiles/sec zonal-stats + polygon-overlap join""" +
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val line = s"""{"metric":"tiles/sec zonal-stats + polygon-overlap join""" +
       s""" (local[32])","value":$thr32,"unit":"tiles/sec","queries":$qs,""" +
       s""""sf":"$sfDir","tiles":${tiles.toLong},"reps":$reps,""" +
+      s""""rep_secs_p2":${arr(reps2)},"rep_secs_p8":${arr(reps8)},""" +
+      s""""rep_secs_p32":${arr(reps32)},""" +
       s""""tiles_per_sec_p2":$thr2,""" +
       s""""tiles_per_sec_p8":$thr8,"tiles_per_sec_p32":$thr32,""" +
       s""""scaling_efficiency":$eff28,""" +
       s""""scaling_efficiency_2_8":$eff28,""" +
       s""""scaling_efficiency_8_32":$eff832,""" +
-      s""""checkpointed_over_direct":$ckptRatio}""")
+      s""""checkpointed_over_direct":$ckptRatio}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    println(line)
   }
 }

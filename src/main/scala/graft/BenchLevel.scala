@@ -13,7 +13,8 @@ object BenchLevel {
     val warm = (1 to reps).map(_ => Bench.runWorkload(s, root))
     s.stop()
     // scalastyle:off println
-    println(s"""BENCHLEVEL{"cold":$cold,"median":${Bench.median(warm)}}""")
+    println(s"""BENCHLEVEL{"cold":$cold,"median":${Bench.median(warm)},""" +
+      s""""reps":[${warm.mkString(",")}]}""")
     // scalastyle:on println
   }
 }

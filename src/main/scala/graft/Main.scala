@@ -44,12 +44,27 @@ object Main {
       else Some(java.time.LocalDateTime.now()
         .format(DateTimeFormatter.ofPattern("yyyy_MM_dd_HH_mm_ss")))
 
-    cfg.jobs.foreach { job =>
-      val out = ZonalJob.run(spark, job, ts)
-      // scalastyle:off println
-      println(s"[graft] job ${job.tag} -> $out")
-      // scalastyle:on println
-    }
+    // Jobs are independent — submit them all concurrently, the
+    // TaskGraph analogue (`runner.py:1075-1076` uses
+    // n_workers = len(jobs)+1, i.e. every job in flight at once);
+    // Spark's scheduler interleaves the resulting jobs. Each raster
+    // inside a job checkpoints per chunk, so a killed run resumes.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, cfg.jobs.size))
+    try {
+      val futs = cfg.jobs.map { job =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val out = ZonalJob.run(spark, job, ts)
+            // scalastyle:off println
+            println(s"[graft] job ${job.tag} -> $out")
+            // scalastyle:on println
+            out
+          }
+        })
+      }
+      futs.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdownNow()
     spark.stop()
   }
 }

@@ -81,13 +81,21 @@ object Checkpoints {
     f"${XXHash64.hashString(sb.toString, 42L)}%016x"
   }
 
-  /** Per-chunk fingerprint: context digest + this chunk's file stats.
+  /** Per-chunk fingerprint: context digest + this chunk's file stats,
+    * including each file's on-disk byte size (regenerating a table in
+    * place with identical cell stats but different content then
+    * invalidates the checkpoint instead of silently reusing it).
     * Recorded in lineage.json; resume recomputes on mismatch. */
-  def fingerprint(ctx: String, files: Seq[TileFileStat]): String = {
+  def fingerprint(ctx: String, files: Seq[TileFileStat],
+      root: String): String = {
     val sb = new StringBuilder(ctx)
     files.foreach { f =>
+      val size =
+        try Files.size(Paths.get(root, f.path))
+        catch { case _: Exception => -1L }
       sb.append(f.path).append('|').append(f.cellMin).append('|')
-        .append(f.cellMax).append('|').append(f.rows).append('\n')
+        .append(f.cellMax).append('|').append(f.rows).append('|')
+        .append(size).append('\n')
     }
     f"${XXHash64.hashString(sb.toString, 42L)}%016x"
   }
@@ -103,37 +111,57 @@ object Checkpoints {
 
   /** Run the per-FID partial-stats stage chunk by chunk with
     * checkpointing; returns the merged fid-level stats DataFrame
-    * (same shape as ZonalStats.fidStats) plus the number of chunks
-    * actually (re)computed this run. */
+    * (same shape as ZonalStats.fidStats), the percentile value-chunk
+    * frame (fid, vals) when `collectValues`, and the number of chunks
+    * actually (re)computed this run.
+    *
+    * Chunk outputs are PRE-AGGREGATED per FID before the parquet
+    * write when values are not collected: chunk outputs only ever
+    * merge through the algebraic [[ZonalStats.fidStats]] reduction
+    * (sum/min/max), so persisting zone-cardinality rows instead of
+    * per-(tile,fid) partials is result-identical while cutting the
+    * checkpoint's parquet I/O from O(tiles × zones-per-tile) to
+    * O(zones) per chunk — the reason the resumable path can track the
+    * direct path's wall clock. Raw partials (with `vals`) are written
+    * only when the exact-percentile path needs the value chunks.
+    *
+    * @param filesOverride restrict the run to these manifest files
+    *   (e.g. [[graft.sources.TileTable.prunedFiles]] of the zones'
+    *   envelope) instead of the full table. */
   def chunkedFidStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
       collectValues: Boolean = false,
-      maxChunks: Int = DefaultMaxChunks): (DataFrame, Int) = {
+      maxChunks: Int = DefaultMaxChunks,
+      lastWins: Boolean = false,
+      filesOverride: Option[Seq[TileFileStat]] = None)
+      : (DataFrame, Option[DataFrame], Int) = {
     val idx = new ZoneIndex(zones.toArray)
     val bc = spark.sparkContext.broadcast(idx)
     val grid = table.grid
     val nodata = table.nodata
-    val chunks = chunkFiles(table.manifest.files, maxChunks)
-    val ctx = contextDigest(zones, table.manifest, collectValues)
+    val chunks = chunkFiles(filesOverride.getOrElse(table.manifest.files),
+      maxChunks)
+    val ctx = contextDigest(zones, table.manifest, collectValues) +
+      (if (lastWins) "|lastWins" else "")
     val computed = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // Chunks are independent Spark jobs; submitting them from a
     // bounded pool keeps several in flight so per-job fixed costs
     // (scheduling, parquet commit) overlap with other chunks' compute
     // instead of serializing the cluster behind the driver loop.
-    val concurrency = math.min(chunks.size, math.max(1,
+    val concurrency = math.min(math.max(1, chunks.size), math.max(1,
       sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "12").toInt))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
 
-    def runChunk(files: Seq[graft.sources.TileFileStat], i: Int): Unit = {
-      val fp = fingerprint(ctx, files)
+    def runChunk(files: Seq[TileFileStat], i: Int): Unit = {
+      val fp = fingerprint(ctx, files, table.root)
       if (!isChunkDone(ckptDir, i, fp)) {
         val t0 = System.nanoTime()
         val dir = chunkDir(ckptDir, i)
         val tiles = spark.read.parquet(
           files.map(f => s"${table.root}/${f.path}"): _*)
         val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
-          collectValues).persist(StorageLevel.MEMORY_AND_DISK)
+          collectValues, lastWins).persist(StorageLevel.MEMORY_AND_DISK)
         try {
           // one kernel pass fills the cache; metrics + write both
           // read the persisted partials
@@ -142,7 +170,10 @@ object Checkpoints {
             .agg(count(lit(1)).as("partial_rows"),
               sum("cnt").as("pixels"))
             .collect()
-          partials.write.mode("overwrite").parquet(s"$dir/partials")
+          val out =
+            if (collectValues) partials.toDF()
+            else ZonalStats.fidStats(partials).coalesce(1)
+          out.write.mode("overwrite").parquet(s"$dir/partials")
           writeLineage(dir, i, files, fp, runId,
             (System.nanoTime() - t0) / 1e6,
             metrics.map(r => (r.getInt(0), r.getLong(1),
@@ -165,36 +196,57 @@ object Checkpoints {
       Progress.detach(spark, progress)
     }
 
+    if (chunks.isEmpty) {
+      // nothing to scan (fully pruned table): empty fid-stats frame
+      import spark.implicits._
+      val empty = Seq.empty[(Long, Long, Long, Double, Double, Double,
+        Double)].toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+      return (empty, None, 0)
+    }
     val all = spark.read.parquet(
       chunks.indices.map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
-    (ZonalStats.fidStats(all.drop("vals")), computed.get())
+    val vals =
+      if (collectValues)
+        Some(all.select(col("fid"), col("vals"))
+          .where(size(col("vals")) > 0))
+      else None
+    (ZonalStats.fidStats(all.drop("vals")), vals, computed.get())
   }
 
-  /** Full resumable zonal run: chunked partials → merge → rollup via
-    * the standard engine path (fallback pass + zero-fill included).
+  /** Full resumable zonal run: chunked partials → merge → the shared
+    * engine tail (fallback pass, rollup, exact percentiles,
+    * zero-fill) — output-identical to [[ZonalEngine.run]] on the same
+    * inputs, including `lastWins` (the INI job path's semantics) and
+    * percentiles.
     *
     * @param keepCheckpoints false = the reference's
     *   `clean_working_dir=True` (`runner.py:921-923`): materialize the
     *   result, then delete the checkpoint dir.
     */
-  def resumableGroupStats(spark: SparkSession, table: TileTable,
+  def resumableZonalStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
+      percentiles: Seq[Double] = Nil,
+      lastWins: Boolean = false,
       maxChunks: Int = DefaultMaxChunks,
-      keepCheckpoints: Boolean = true): DataFrame = {
+      keepCheckpoints: Boolean = true,
+      exactPercentiles: Boolean = true): DataFrame = {
     import spark.implicits._
+    val percs = ZonalEngine.normalizePercentiles(percentiles)
     val zonesSimpl = zones.map(z =>
       z.copy(geom = Zone.simplifyHalfPixel(z.geom, table.grid.gt.px)))
-    val (fidStats, _) = chunkedFidStats(spark, table, zonesSimpl, ckptDir,
-      runId, maxChunks = maxChunks)
+    // prune the chunk list to the zones' envelope — a job over a
+    // region touches only that region's files, like the direct path
+    val env = new org.locationtech.jts.geom.Envelope()
+    zonesSimpl.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val (fidStats, vals, _) = chunkedFidStats(spark, table, zonesSimpl,
+      ckptDir, runId, collectValues = percs.nonEmpty,
+      maxChunks = maxChunks, lastWins = lastWins,
+      filesOverride = Some(table.prunedFiles(env)))
     val zonesDf = zonesSimpl.map(z => (z.fid, Option(z.group)))
       .toDF("fid", "group")
-    // unset-FID fallback, pruned to the union of the unset zones'
-    // envelopes (not a full table scan)
-    val present = fidStats.select("fid").as[Long].collect().toSet
-    val unset = zonesSimpl.filter(z => !present.contains(z.fid))
-    val fidAll = ZonalEngine.mergeFallback(spark, fidStats, unset,
-      table.grid, table.nodata, env => table.readPruned(spark, env))
-    val res = ZonalStats.groupStats(fidAll, zonesDf, None)
+    val res = ZonalEngine.finishStats(spark, fidStats, vals, zonesSimpl,
+      zonesDf, table.grid, table.nodata, percs, exactPercentiles,
+      e => table.readPruned(spark, e), histogram = None)
     if (keepCheckpoints) res
     else {
       // result is dimension-sized: materialize, then GC the scratch
@@ -205,6 +257,15 @@ object Checkpoints {
       out
     }
   }
+
+  /** Back-compat alias: resumable run without percentiles /
+    * last-wins. */
+  def resumableGroupStats(spark: SparkSession, table: TileTable,
+      zones: Seq[Zone], ckptDir: String, runId: String,
+      maxChunks: Int = DefaultMaxChunks,
+      keepCheckpoints: Boolean = true): DataFrame =
+    resumableZonalStats(spark, table, zones, ckptDir, runId,
+      maxChunks = maxChunks, keepCheckpoints = keepCheckpoints)
 
   private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -20,18 +20,31 @@ object ZonalJob {
 
   /** Run one raster slice → per-group stat maps keyed like the
     * reference dicts (stat-field insertion order preserved by the
-    * field list, runner.py:849-861,917). */
+    * field list, runner.py:849-861,917).
+    *
+    * @param ckptDir when set, the raster runs through the CHUNKED
+    *   RESUMABLE path ([[Checkpoints.resumableZonalStats]]) — the
+    *   TaskGraph-memoization analogue (`runner.py:1093-1098`): a
+    *   re-run after a crash skips every finished chunk. When None
+    *   (ad-hoc callers), the direct single-pass engine runs. */
   def singleRaster(spark: SparkSession, table: TileTable, zones: Seq[Zone],
-      percentiles: Seq[Double]): GroupStats = {
+      percentiles: Seq[Double], ckptDir: Option[String] = None): GroupStats = {
     // The reference job path hardcodes polygons_might_overlap=False
     // (runner.py:960), i.e. a single last-burn-wins rasterize pass:
     // overlap pixels belong only to the zone burned last.
-    val df = ZonalEngine.run(spark, table.readPruned(spark, {
-      val e = new org.locationtech.jts.geom.Envelope()
-      zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
-      e
-    }), zones, table.grid, table.nodata, percentiles, lastWins = true,
-      fallbackTiles = Some(env => table.readPruned(spark, env)))
+    val df = ckptDir match {
+      case Some(dir) =>
+        Checkpoints.resumableZonalStats(spark, table, zones, dir,
+          runId = s"job-${System.nanoTime()}", percentiles = percentiles,
+          lastWins = true)
+      case None =>
+        ZonalEngine.run(spark, table.readPruned(spark, {
+          val e = new org.locationtech.jts.geom.Envelope()
+          zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
+          e
+        }), zones, table.grid, table.nodata, percentiles, lastWins = true,
+          fallbackTiles = Some(env => table.readPruned(spark, env)))
+    }
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
     df.collect().map { r =>
@@ -144,17 +157,34 @@ object ZonalJob {
       ZonalEngine.normalizePercentiles(percentiles))
     val stems = job.rasterPaths.map(p =>
       Paths.get(p).getFileName.toString)
+    // Rasters are independent Spark jobs — run them from a bounded
+    // pool so per-raster fixed costs overlap (Spark schedules the
+    // concurrent jobs FIFO across the cluster). Each raster gets its
+    // own checkpoint dir under the job workdir, so a crashed run
+    // resumes at chunk granularity (clean_working_dir=False in the
+    // reference job path, runner.py:962 — scratch is kept).
+    val conc = math.min(math.max(1, job.rasterPaths.size), math.max(1,
+      sys.env.getOrElse("GRAFT_JOB_RASTER_CONCURRENCY", "2").toInt))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
     val stats: Map[String, GroupStats] =
-      job.rasterPaths.zip(stems).map { case (path, stem) =>
-        val table = TileTable.open(path)
-        // P7: reproject the vector into THIS raster's SRS iff the SRS
-        // differ / vector SRS missing (runner.py:307-341) — per raster,
-        // since each raster may carry its own projection
-        val zones = graft.geom.Crs.projectZones(
-          ZoneStore.load(spark, job.aggVector, job.aggField),
-          ZoneStore.srs(job.aggVector), table.manifest.srs)
-        stem -> singleRaster(spark, table, zones, percentiles)
-      }.toMap
+      try {
+        val futs = job.rasterPaths.zip(stems).map { case (path, stem) =>
+          pool.submit(new java.util.concurrent.Callable[(String, GroupStats)] {
+            override def call(): (String, GroupStats) = {
+              val table = TileTable.open(path)
+              // P7: reproject the vector into THIS raster's SRS iff the
+              // SRS differ / vector SRS missing (runner.py:307-341) —
+              // per raster, since each may carry its own projection
+              val zones = graft.geom.Crs.projectZones(
+                ZoneStore.load(spark, job.aggVector, job.aggField),
+                ZoneStore.srs(job.aggVector), table.manifest.srs)
+              stem -> singleRaster(spark, table, zones, percentiles,
+                ckptDir = Some(s"${job.workdir}/ckpt_$stem"))
+            }
+          })
+        }
+        futs.map(_.get()).toMap
+      } finally pool.shutdownNow()
     val lines = renderCsv(job.aggField, job.rowColOrder, stems, stats, pKeys)
     val out = timestamp match {
       case Some(ts) =>

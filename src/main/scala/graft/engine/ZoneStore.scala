@@ -49,11 +49,15 @@ object ZoneStore {
     zones.map(z => (z.fid, Option(z.group), Zone.toWkb(z.geom)))
       .toDF("fid", groupField, "geom_wkb")
       .coalesce(1).write.mode("overwrite").parquet(path)
-    // layer SRS sidecar ("_"-prefixed → invisible to parquet readers)
+    // layer SRS sidecar ("_"-prefixed → invisible to parquet readers);
+    // serialized with Jackson so SRS tags containing quotes/backslashes
+    // stay valid JSON
     srs.foreach { s =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("srs", s)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path, "_srs.json"),
-        s"""{"srs": "$s"}""")
+        java.nio.file.Paths.get(path, "_srs.json"), m.writeValueAsString(o))
     }
   }
 

@@ -77,6 +77,7 @@ object MultimodalStubs {
     * n_frames, checksum) — the shape a feature-extraction stage
     * consumes. */
   def frameSample(bytes: Array[Byte], stride: Int): (Long, Long, Long) = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val s = pcm16Samples(bytes)
     var i = 0
     var n = 0L
@@ -101,37 +102,69 @@ object Video {
   val PngSignature: Array[Byte] = Array(0x89.toByte, 0x50, 0x4e, 0x47,
     0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Split a concatenated-PNG stream into its frames (signature scan;
-    * content between signatures belongs to the preceding frame). */
+  /** Split a concatenated-PNG stream into frames by WALKING each
+    * frame's chunk structure (public PNG spec §5.3): after the 8-byte
+    * signature, chunks are (len:4 BE)(type:4)(data)(crc:4) until IEND;
+    * the frame ends after IEND's CRC. A stray signature byte sequence
+    * INSIDE a frame's compressed IDAT payload is therefore never
+    * mistaken for a boundary. Byte runs that start with a signature
+    * but don't parse to IEND are skipped, not emitted as garbage
+    * fragments. */
   def splitPngFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
     val sig = PngSignature
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var i = 0
-    while (i <= bytes.length - sig.length) {
+    def sigAt(i: Int): Boolean = {
       var j = 0
       while (j < sig.length && bytes(i + j) == sig(j)) j += 1
-      if (j == sig.length) { starts += i; i += sig.length }
-      else i += 1
+      j == sig.length
     }
-    if (starts.isEmpty) return IndexedSeq.empty
-    starts.zipWithIndex.map { case (s, k) =>
-      val e = if (k + 1 < starts.length) starts(k + 1) else bytes.length
-      java.util.Arrays.copyOfRange(bytes, s, e)
-    }.toIndexedSeq
+    // end offset (exclusive) after the IEND chunk's CRC, or -1 when
+    // the walk runs off the buffer / hits a malformed length
+    def walkToIend(start: Int): Int = {
+      var p = start + sig.length
+      while (p + 8 <= bytes.length) {
+        val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (len < 0) return -1
+        val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+        val next = p.toLong + 12L + len.toLong
+        if (next > bytes.length) return -1
+        p = next.toInt
+        if (isEnd) return p
+      }
+      -1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    while (i <= bytes.length - sig.length) {
+      if (sigAt(i)) {
+        val e = walkToIend(i)
+        if (e > 0) { out += java.util.Arrays.copyOfRange(bytes, i, e); i = e }
+        else i += 1 // malformed frame: scan forward to the next signature
+      } else i += 1
+    }
+    out.toIndexedSeq
   }
 
   /** Decode every `stride`-th frame and return
     * (frame_idx, n_px, sum_px) per sampled frame — the shape a
-    * feature-extraction / frame-embedding stage consumes. */
+    * feature-extraction / frame-embedding stage consumes. Frames that
+    * fail to decode are skipped (never dereferenced). */
   def frameSampleStats(bytes: Array[Byte],
       stride: Int): Seq[(Int, Long, Double)] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val frames = splitPngFrames(bytes)
-    (0 until frames.length by stride).map { f =>
-      val px = graft.functions.ImageCodec.decode(frames(f), "png")
-      var sum = 0.0
-      var i = 0
-      while (i < px.length) { sum += px(i); i += 1 }
-      (f, px.length.toLong, sum)
+    (0 until frames.length by stride).flatMap { f =>
+      val px =
+        try graft.functions.ImageCodec.decode(frames(f), "png")
+        catch { case _: Exception => null }
+      if (px == null) None
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        Some((f, px.length.toLong, sum))
+      }
     }
   }
 }

@@ -32,12 +32,20 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       ts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // NULL join keys never match (SQL equality / DuckDB ASOF
+    // semantics). Spark windows group NULL partition keys TOGETHER, so
+    // NULL-key rows must not reach the window: NULL-key right rows are
+    // dropped, NULL-key left rows bypass the join and come back with
+    // NULL payloads (left-outer semantics preserved).
+    val nullLeft = left.where(col(key).isNull)
+    val left1 = left.where(col(key).isNotNull)
+    val right1 = right.where(col(key).isNotNull)
     // the payload travels as ONE struct so the matched right row is
     // atomic: a right row whose payload VALUES are NULL still matches
     // (its struct is non-NULL), and columns can never mix values from
     // different right rows — exactly ASOF semantics
-    val rp = right.withColumn("_p", struct(payload.map(col): _*))
-    val l = left
+    val rp = right1.withColumn("_p", struct(payload.map(col): _*))
+    val l = left1
       .withColumn("_side", lit(1))
       .withColumn("_l", struct(leftCols.map(col): _*))
       .select(col(key), col(ts), col("_side"), col("_l"),
@@ -52,9 +60,13 @@ object Joins {
     val filled = l.unionByName(r)
       .select(col("_side"), col("_l"),
         last(col("_p"), ignoreNulls = true).over(w).as("_p"))
-    filled.where(col("_side") === 1)
+    val joined = filled.where(col("_side") === 1)
       .select(leftCols.map(c => col(s"_l.$c")) ++
         payload.map(p => col(s"_p.$p").as(p)): _*)
+    val rSchema = right.schema
+    val nullOut = nullLeft.select(leftCols.map(col) ++
+      payload.map(p => lit(null).cast(rSchema(p).dataType).as(p)): _*)
+    joined.unionByName(nullOut)
   }
 
   /** Range join: points against (possibly overlapping) intervals,

@@ -107,21 +107,44 @@ object ZonalEngine {
       .persist(StorageLevel.MEMORY_AND_DISK)
     mainFidStats.count() // materialize: one kernel pass fills the cache
 
+    val mainChunks =
+      if (!collectVals) None
+      else Some(partials.select($"fid", $"vals").where(size($"vals") > 0))
+    val tilesFor = fallbackTiles.getOrElse(
+      (_: org.locationtech.jts.geom.Envelope) => tiles)
+    finishStats(spark, mainFidStats, mainChunks, zones, zonesDf, grid,
+      nodata, percentiles, exactPercentiles, tilesFor, histogram)
+  }
+
+  /** The tail of the zonal pipeline, shared by the direct path above
+    * and the checkpointed path ([[graft.engine.Checkpoints]]): given
+    * merged per-FID stats (and optional percentile value chunks) from
+    * the kernel stage, run the unset-FID envelope fallback, the group
+    * rollup + percentiles, finalize, and order the output columns.
+    *
+    * @param zones   the SIMPLIFIED zone set the kernel ran against
+    * @param tilesFor envelope-pruned tile scan for the fallback pass
+    */
+  private[graft] def finishStats(spark: SparkSession,
+      mainFidStats: DataFrame, mainChunks: Option[DataFrame],
+      zones: Seq[Zone], zonesDf: DataFrame, grid: RasterGrid,
+      nodata: Option[Double], percentiles: Seq[Double],
+      exactPercentiles: Boolean,
+      tilesFor: org.locationtech.jts.geom.Envelope => DataFrame,
+      histogram: Option[(Double, Double, Int)]): DataFrame = {
+    import spark.implicits._
+    val pKeys = percentileKeys(percentiles)
+    val collectVals = mainChunks.isDefined
+
     // ---- unset-FID envelope fallback (runner.py:697-811) ----
     val presentFids = mainFidStats.select("fid").as[Long].collect().toSet
     val unset = zones.filter(z => !presentFids.contains(z.fid))
     val (fallbackStats, fallbackChunks) =
       if (unset.isEmpty) (None, None)
       else {
-        val fbSrc = fallbackTiles match {
-          case Some(pruned) =>
-            val env = new org.locationtech.jts.geom.Envelope()
-            unset.foreach(z =>
-              env.expandToInclude(z.geom.getEnvelopeInternal))
-            pruned(env)
-          case None => tiles
-        }
-        runFallback(spark, fbSrc, unset, grid, nodata, collectVals)
+        val env = new org.locationtech.jts.geom.Envelope()
+        unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+        runFallback(spark, tilesFor(env), unset, grid, nodata, collectVals)
       }
 
     val fidStatsAll = fallbackStats match {
@@ -129,19 +152,15 @@ object ZonalEngine {
       case None => mainFidStats
     }
 
-    val chunks =
-      if (!collectVals) None
-      else {
-        val mainChunks = partials.select($"fid", $"vals")
-          .where(size($"vals") > 0)
-        val all = fallbackChunks match {
-          case Some(fc) => mainChunks.unionByName(fc)
-          case None => mainChunks
-        }
-        val withGroup = broadcast(zonesDf)
-          .join(all, Seq("fid")).select("group", "vals")
-        Some((withGroup, percentiles.toArray))
+    val chunks = mainChunks.map { mc =>
+      val all = fallbackChunks match {
+        case Some(fc) => mc.unionByName(fc)
+        case None => mc
       }
+      val withGroup = broadcast(zonesDf)
+        .join(all, Seq("fid")).select("group", "vals")
+      (withGroup, percentiles.toArray)
+    }
 
     val g = ZonalStats.groupStats(fidStatsAll, zonesDf, chunks,
       exactPercentiles, histogram)
@@ -167,30 +186,6 @@ object ZonalEngine {
       .withColumn("stdev", lit(null).cast("double"))
     pKeys.foreach(k => df = df.withColumn(k, lit(null).cast("double")))
     df.select("group", statFields(pKeys): _*)
-  }
-
-  /** Public fallback entry for external orchestrators (checkpointed
-    * runs): fid-level stats of the envelope-fallback pass only. */
-  def fallbackStatsDf(spark: SparkSession, tiles: DataFrame,
-      unset: Seq[Zone], grid: RasterGrid,
-      nodata: Option[Double]): Option[DataFrame] =
-    runFallback(spark, tiles, unset, grid, nodata, collectVals = false)._1
-
-  /** Pruned unset-FID fallback + merge — the ONE implementation of
-    * "scan only the tiles covering the unset zones' envelopes" shared
-    * by the checkpointed path (and mirrored by [[run]]'s inline
-    * percentile-aware variant). */
-  def mergeFallback(spark: SparkSession, fidStats: DataFrame,
-      unset: Seq[Zone], grid: RasterGrid, nodata: Option[Double],
-      tilesFor: org.locationtech.jts.geom.Envelope => DataFrame)
-      : DataFrame = {
-    if (unset.isEmpty) fidStats
-    else {
-      val env = new org.locationtech.jts.geom.Envelope()
-      unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
-      fallbackStatsDf(spark, tilesFor(env), unset, grid, nodata)
-        .map(fidStats.unionByName(_)).getOrElse(fidStats)
-    }
   }
 
   /** Envelope-window fallback for zones that captured no pixel:

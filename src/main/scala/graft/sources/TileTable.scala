@@ -53,6 +53,24 @@ class TileTable(val root: String, val manifest: TileManifest) {
     * overlaps the envelope edge-on (center outside) would be missed,
     * silently dropping pixels. */
   def readPruned(spark: SparkSession, env: Envelope): DataFrame = {
+    val (files, ranges) = prunedFilesWithRanges(env)
+    if (files.isEmpty) return read(spark).limit(0)
+    val df = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val pred = ranges.map { case (lo, hi) =>
+      col("cell").between(lo, hi)
+    }.reduce(_ || _)
+    df.where(pred)
+  }
+
+  /** Manifest files whose cell range intersects the Morton cover of
+    * `env` (the file-level half of [[readPruned]]) — lets callers that
+    * manage their own scans (chunked/resumable execution) skip files a
+    * zonal job can never touch. */
+  def prunedFiles(env: Envelope): Seq[TileFileStat] =
+    prunedFilesWithRanges(env)._1
+
+  private def prunedFilesWithRanges(env: Envelope)
+      : (Seq[TileFileStat], Seq[(Long, Long)]) = {
     val g = manifest.grid
     val inflated = new Envelope(env)
     inflated.expandBy(math.abs(g.gt.px) * g.tileW / 2.0,
@@ -62,12 +80,7 @@ class TileTable(val root: String, val manifest: TileManifest) {
       manifest.cellLevel)
     val files = manifest.files.filter(f =>
       ranges.exists { case (lo, hi) => f.cellMax >= lo && f.cellMin <= hi })
-    if (files.isEmpty) return read(spark).limit(0)
-    val df = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-    val pred = ranges.map { case (lo, hi) =>
-      col("cell").between(lo, hi)
-    }.reduce(_ || _)
-    df.where(pred)
+    (files, ranges)
   }
 
   def grid: RasterGrid = manifest.grid
