@@ -61,6 +61,7 @@ object SparkEntry {
     "q_srp_neardup" -> ((s, sf) => DQ.srpNearDup(s, sf)),
     "q_srp_multiprobe" -> ((s, sf) => DQ.srpMultiProbe(s, sf)),
     "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
+    "q_srp_hidim" -> ((s, sf) => DQ.srpHiDim(s, sf)),
     "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
     "q_video_frames" -> ((s, sf) => DQ.videoFrames(s, sf)),
   )
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_srp_neardup" -> DQ.srpNearDupSql,
     "q_srp_multiprobe" -> DQ.srpMultiProbeSql,
     "q_srp_banded" -> DQ.srpBandedSql,
+    "q_srp_hidim" -> DQ.srpHiDimSql,
     "q_video_frames" -> DQ.videoFramesSql,
   )
 }

@@ -330,6 +330,41 @@ SELECT * FROM (
     srpPairSql(cond)
   }
 
+  // ---- hi-dim SRP bucket (production shape) ----
+  private val HiDim = 768
+  private val HiPlanes = 32
+
+  /** SRP bucketing at production embedding shape (768 dims × 32
+    * planes) — the scale gate for the single-pass [[graft.functions
+    * .SrpBucket]] expression: a composed-Column formulation would
+    * materialize 768×32 ≈ 25k nodes and fall out of codegen; this
+    * plan carries exactly ONE projection node. The driver table's
+    * 64-dim embeddings are widened by a deterministic formula of
+    * vec_id so both engines compute the identical input vector. */
+  def srpHiDim(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings").select("vec_id")
+    val vec = transform(sequence(lit(0), lit(HiDim - 1)),
+      i => ((col("vec_id") * 31 + i * 17) % 97).cast("double")
+        .divide(lit(97.0)).minus(lit(0.5)).cast("float"))
+    e.select(col("vec_id"),
+      Similarity.srpBucket(vec, HiDim, HiPlanes).as("bucket"))
+  }
+
+  val srpHiDimSql: String = s"""
+SELECT vec_id,
+  CAST(SUM(CASE WHEN proj > 0
+    THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
+    AS bucket
+FROM (
+  SELECT e.vec_id, p.p,
+    SUM(CAST(CAST(CAST((e.vec_id * 31 + d.i * 17) % 97 AS DOUBLE) / 97.0
+          - 0.5 AS REAL) AS DOUBLE) *
+        ((CAST((1 + p.p * 7919 + d.i * 104729) % 1000003 AS DOUBLE)
+          / 500001.5) - 1.0)) AS proj
+  FROM embeddings e, range(0, $HiPlanes) p(p), range(0, $HiDim) d(i)
+  GROUP BY 1, 2
+) GROUP BY 1"""
+
   // ---- IVF (inverted-file) ANN top-k ----
   private val IvfCentroids = 8
   private val IvfProbes = 2

@@ -97,6 +97,81 @@ case class MortonCellId(first: Expression, second: Expression,
       t: Expression): MortonCellId = copy(first = f, second = s, third = t)
 }
 
+/** Signed-random-projection bucket of an embedding vector — ALL plane
+  * projections computed in ONE traversal of the array (inner loop over
+  * planes), emitting the packed sign-bit bucket directly. A
+  * composed-Column formulation materializes dim×planes expression
+  * nodes (768×32 ≈ 25k — past janino's method limits, degrading to
+  * interpreted projection); this is a single codegen-able node whose
+  * cost lives in a tight JVM loop. Hyperplane components come from
+  * [[SrpBucketImpl.planeComponent]]'s integer lattice (replicable in
+  * external SQL). Per plane, elements accumulate in ascending index
+  * order in float64 — fold-order identical to the composed form, so
+  * buckets are bit-equal. */
+case class SrpBucket(child: Expression, dim: Int, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 63,
+    s"numPlanes must be in [1, 63], got $numPlanes")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_bucket"
+
+  // lazy: child.dataType is only known post-analysis
+  private lazy val elemIsDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"srp_bucket expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SrpBucketImpl.compute(
+      v.asInstanceOf[ArrayData], dim, numPlanes, elemIsDouble))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SrpBucketImpl.compute($a, $dim, $numPlanes, " +
+        s"$elemIsDouble)")
+
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+}
+
+object SrpBucketImpl {
+  /** Deterministic pseudo-random hyperplane component for
+    * (plane, dim): a fixed integer lattice mapped to [-1, 1), chosen
+    * to be exactly replicable in SQL:
+    * ((1 + p*7919 + d*104729) mod 1000003) / 500001.5 - 1. */
+  def planeComponent(p: Int, d: Int): Double =
+    ((1L + p * 7919L + d * 104729L) % 1000003L) / 500001.5 - 1.0
+
+  /** One pass over the vector; per-plane partial sums accumulate in
+    * ascending element order (bit-parity with a per-plane left fold). */
+  def compute(arr: ArrayData, dim: Int, numPlanes: Int,
+      elemIsDouble: Boolean): Long = {
+    val n = math.min(dim, arr.numElements())
+    val sums = new Array[Double](numPlanes)
+    var d = 0
+    while (d < n) {
+      val v = if (elemIsDouble) arr.getDouble(d) else arr.getFloat(d).toDouble
+      var p = 0
+      while (p < numPlanes) {
+        sums(p) += v * planeComponent(p, d)
+        p += 1
+      }
+      d += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      if (sums(p) > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -138,4 +213,10 @@ object functions {
   /** XXH64 content hash of a binary column. */
   def xxh64(bytes: Column, seed: Long = 0L): Column =
     col(XxHash64Bytes(expr(bytes), seed))
+
+  /** SRP sign-bit bucket over the first `dim` elements of an
+    * embedding array, `numPlanes` hyperplanes — single-pass, one
+    * expression node regardless of dim×planes. */
+  def srp_bucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    col(SrpBucket(expr(vec), dim, numPlanes))
 }

@@ -59,25 +59,20 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for
-    * (plane, dim): a fixed integer lattice mapped to [-1, 1). Chosen
-    * to be exactly replicable in SQL: ((1 + p*7919 + d*104729) mod
-    * 1000003) / 500001.5 - 1. */
+    * (plane, dim) — see [[graft.functions.SrpBucketImpl]]. */
   def planeComponent(p: Int, d: Int): Double =
-    ((1L + p * 7919L + d * 104729L) % 1000003L) / 500001.5 - 1.0
+    graft.functions.SrpBucketImpl.planeComponent(p, d)
 
   /** Signed-random-projection bucket key over `numPlanes` fixed
     * hyperplanes — the LSH scale path for cosine ANN. Vectors in the
     * same bucket are near-certain cosine neighbors; probing adjacent
-    * buckets trades recall for cost. */
-  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(proj > 0, 1L << p).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * buckets trades recall for cost. One custom-expression node: all
+    * plane projections computed in a single traversal of the vector,
+    * so production dims (768–1536 × 16–32 planes) stay inside
+    * whole-stage codegen instead of materializing dim×planes
+    * expression nodes. */
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    graft.functions.functions.srp_bucket(vec, dim, numPlanes)
 
   /** Bucketed ANN near-dup: candidates only within equal SRP bucket,
     * then exact cosine filter — same output columns as
@@ -136,26 +131,44 @@ object Similarity {
     * to the SRP/LSH one: every candidate is assigned to its nearest
     * centroid's list (L2, ties → smaller centroid id); a query probes
     * its `nProbe` nearest lists and runs exact cosine top-k INSIDE the
-    * probed lists only. Centroids are a broadcast dimension table, the
-    * candidate↔probe match is a `list_id` equi-join — per-query cost
-    * is nProbe/K of brute force, and nothing all-pairs materializes.
-    * (Deterministic: callers supply the centroid table; no RNG.) */
+    * probed lists only. The candidate↔probe match is a `list_id`
+    * equi-join — per-query cost is nProbe/K of brute force, and
+    * nothing all-pairs materializes.
+    *
+    * Centroid ASSIGNMENT is a per-row fold over the (collected,
+    * dimension-sized) centroid table — an `array_min` over
+    * struct(distance, centroid_id) literals, so the candidate side
+    * carries NO exchange: no crossJoin row blowup, no Window shuffle/
+    * sort of the full candidate table (that Window was the one
+    * scale-killer in this operator's first cut). Tie-break matches
+    * the SQL form: distance asc, centroid id asc via lexicographic
+    * struct ordering. (Deterministic: callers supply the centroid
+    * table; no RNG.) */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int,
       nProbe: Int): DataFrame = {
-    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val ranked = df.crossJoin(broadcast(centroids))
-        .withColumn("_d", dist2(col(vecCol), col(centVecCol)))
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("_d").asc, col(centIdCol).asc)
-      ranked.withColumn("_r", row_number().over(w))
-        .where(col("_r") <= keep)
-        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
-          col(centIdCol).as("list_id"))
-    }
-    val cand = assign(candidates, "cand", keep = 1)
-    val qry = assign(queries, "query", keep = nProbe)
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+
+    // array of struct(d, cid) per row; lexicographic struct ordering
+    // = (distance asc, centroid id asc)
+    def distArr(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(dist2(vec, lit(cv)).as("d"), lit(cid).as("cid"))
+    }: _*)
+
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("candv"),
+      array_min(distArr(col(vecCol))).getField("cid").as("list_id"))
+    val qry = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("queryv"),
+      explode(transform(
+        slice(array_sort(distArr(col(vecCol))), 1, nProbe),
+        e => e.getField("cid"))).as("list_id"))
     val scored = qry.join(cand, Seq("list_id"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("score", cosine(col("queryv"), col("candv")))
