@@ -159,6 +159,48 @@ SELECT groups.grp AS grp,
 FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
   }
 
+  /** GDAL boundary tie-break (top-left rule) under the oracle gate:
+    * zones whose edges pass EXACTLY through pixel centers — the case
+    * grid-aligned admin boundaries hit constantly. A center on a
+    * zone's pixel-space top or left edge belongs to the zone; one on
+    * its bottom or right edge does not (SURVEY.md §4 quirk 1). The
+    * DuckDB oracle encodes the same rule as closed-open integer
+    * boxes / the triangle's hypotenuse exclusion. */
+  def zonalTies(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    // simplify=false: the ½px Douglas-Peucker stage would collapse the
+    // 1-px tie rect to an empty geometry (covered by the sliver
+    // fixtures); here the rasterize tie rule itself is under test
+    ZonalEngine.run(spark, tiles, Fixtures.zonesTies(grid), grid,
+      nodata = Some(-9999.0), simplify = false)
+      .select(col("group").as("grp"), col("count").as("cnt"),
+        col("nodata_count").as("nodata_cnt"),
+        col("valid_count").as("valid_cnt"), col("sum").as("sum_v"),
+        col("min").as("min_v"), col("max").as("max_v"))
+  }
+
+  val zonalTiesSql: String = {
+    val membership = Fixtures.zonesTiesSqlMembership.map {
+      case (_, grp, cond) => s"SELECT '$grp' AS grp, v FROM px WHERE $cond"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH px AS (
+  SELECT gr, gc, ${Synth.valueSql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+),
+asg AS (
+  $membership
+)
+SELECT grp,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(count(*) FILTER (WHERE v = -9999.0) AS BIGINT) AS nodata_cnt,
+  CAST(count(*) FILTER (WHERE v <> -9999.0) AS BIGINT) AS valid_cnt,
+  COALESCE(sum(v) FILTER (WHERE v <> -9999.0), 0.0) AS sum_v,
+  min(v) FILTER (WHERE v <> -9999.0) AS min_v,
+  max(v) FILTER (WHERE v <> -9999.0) AS max_v
+FROM asg GROUP BY grp"""
+  }
+
   /** Multi-band addressing under the oracle gate: a two-band tile
     * table (band 1 = the standard field, band 2 = its own field with
     * its OWN nodata −7777, mirroring per-band nodata in

@@ -87,12 +87,53 @@ object Fixtures {
     "(VALUES ('alpha'),('beta'),('2'),('10'),(CAST(NULL AS VARCHAR))," +
       "('outside'),('ndonly'),('lshape'))"
 
+  /** Rect whose edges pass EXACTLY through the centers of cols c0/c1
+    * and rows r0/r1 — every perimeter pixel center is a boundary tie,
+    * decided by the raster top-left rule (top/left edge centers
+    * belong, bottom/right do not). Membership: gc ∈ [c0, c1),
+    * gr ∈ [r0, r1). */
+  def centerRectPx(grid: RasterGrid, fid: Long, group: String, c0: Int,
+      r0: Int, c1: Int, r1: Int): Zone = {
+    def pt(c: Int, r: Int) =
+      new Coordinate(grid.gt.pixelCenterX(c), grid.gt.pixelCenterY(r))
+    Zone(fid, group, gf.createPolygon(Array(
+      pt(c0, r0), pt(c1, r0), pt(c1, r1), pt(c0, r1), pt(c0, r0))))
+  }
+
+  /** Boundary-tie fixture set (GDAL `ALL_TOUCHED=FALSE` tie-break,
+    * SURVEY.md §4 quirk 1 — grid-aligned admin boundaries hit these
+    * constantly): a center-aligned rect, a right triangle whose 45°
+    * hypotenuse passes exactly through pixel centers, and a degenerate
+    * 1-pixel center rect. */
+  def zonesTies(grid: RasterGrid): Seq[Zone] = {
+    def pt(c: Int, r: Int) =
+      new Coordinate(grid.gt.pixelCenterX(c), grid.gt.pixelCenterY(r))
+    Seq(
+      centerRectPx(grid, 1, "tl_rect", 10, 20, 40, 50),
+      Zone(2, "tl_tri", gf.createPolygon(Array(
+        pt(60, 60), pt(80, 60), pt(60, 80), pt(60, 60)))),
+      centerRectPx(grid, 3, "tl_1px", 100, 100, 101, 101))
+  }
+
+  /** DuckDB membership for [[zonesTies]] under the top-left rule:
+    * top/left tie centers in, bottom/right out — so the rect is the
+    * half-open box, the triangle's hypotenuse (centers at
+    * gc = 140 − gr) is excluded (it is the pixel-space RIGHT
+    * crossing), and the 1-px rect keeps exactly its top-left pixel. */
+  val zonesTiesSqlMembership: Seq[(Long, String, String)] = Seq(
+    (1L, "tl_rect", "gc >= 10 AND gc < 40 AND gr >= 20 AND gr < 50"),
+    (2L, "tl_tri", "gr >= 60 AND gr < 80 AND gc >= 60 AND gc < 140 - gr"),
+    (3L, "tl_1px", "gc = 100 AND gr = 100"))
+
   /** Fallback fixtures: sub-pixel slivers that capture no pixel
     * center. s1 = single sliver inside pixel (row 10, col 5);
     * multi = two sliver parts → windows (50,20) then (90,77), the
     * LAST part's window supplies the scalars (runner.py:783-806). */
   def zonesFallback(grid: RasterGrid): Seq[Zone] = Seq(
     multiPx(grid, 1, "s1", Seq((5.3, 10.2, 5.45, 10.4))),
+    // part 2 starts at 77.55 (NOT 77.5): a sliver edge exactly on the
+    // pixel-center line would capture the center under the top-left
+    // tie rule and bypass the fallback this fixture exists to test
     multiPx(grid, 2, "multi",
-      Seq((20.2, 50.1, 20.3, 50.2), (77.5, 90.3, 77.9, 90.6))))
+      Seq((20.2, 50.1, 20.3, 50.2), (77.55, 90.3, 77.9, 90.6))))
 }

@@ -93,9 +93,13 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
         t.insert(g.getEnvelopeInternal, Integer.valueOf(i))
         prep(i) = PreparedGeometryFactory.prepare(g)
         locs(i) = new IndexedPointInAreaLocator(g)
+        // half-pixel simplification can collapse sub-pixel slivers to
+        // EMPTY geometries (null-envelope centre) — skip priming those
         val c = g.getEnvelopeInternal.centre()
-        locs(i).locate(c) // prime locator index
-        prep(i).containsProperly(gf.createPoint(c)) // prime prepared index
+        if (c != null) {
+          locs(i).locate(c) // prime locator index
+          prep(i).containsProperly(gf.createPoint(c)) // prime prepared index
+        }
         i += 1
       }
       t.build()
@@ -142,12 +146,22 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
 
   /** Scanline crossings of zone i's boundary with the horizontal line
     * at `y`, written sorted into `buf`; returns the count (always
-    * even for valid polygons). Half-open edge rule `[ymin, ymax)` —
-    * the classic scanline rasterizer convention, equivalent to an
+    * even for valid polygons). Half-open edge rule, equivalent to an
     * even-odd interior test for any point not ON the boundary (the
     * GDAL `ALL_TOUCHED=FALSE` center rule the reference relies on,
-    * runner.py:466). */
-  def crossings(i: Int, y: Double, buf: Array[Double]): Int = {
+    * runner.py:466).
+    *
+    * For scanlines passing EXACTLY through an edge endpoint the
+    * half-openness decides the tie, and its orientation must be
+    * half-open in PIXEL-space y to realize the raster top-left
+    * convention (a center on a zone's pixel-space TOP edge belongs to
+    * the zone, one on the BOTTOM edge does not):
+    * `maxInclusive = true` (north-up rasters, py < 0 — pixel rows
+    * grow as geo y falls) counts an edge when
+    * `min(ya,yb) < y <= max(ya,yb)`; `false` (py > 0) counts
+    * `min <= y < max`. */
+  def crossings(i: Int, y: Double, buf: Array[Double],
+      maxInclusive: Boolean): Int = {
     ensure()
     val rings = _rings(i)
     var n = 0
@@ -158,7 +172,10 @@ final class ZoneIndex(val zones: Array[Zone]) extends Serializable {
       val m = ring.length - 2
       while (j < m) {
         val ya = ring(j + 1); val yb = ring(j + 3)
-        if ((ya <= y && yb > y) || (yb <= y && ya > y)) {
+        val hit =
+          if (maxInclusive) (ya >= y && yb < y) || (yb >= y && ya < y)
+          else (ya <= y && yb > y) || (yb <= y && ya > y)
+        if (hit) {
           val xa = ring(j); val xb = ring(j + 2)
           buf(n) = xa + (y - ya) * (xb - xa) / (yb - ya)
           n += 1

@@ -128,16 +128,19 @@ object ZonalStats {
           if (coversTile) fill(gc0, gc1)
           else {
             val y = grid.gt.pixelCenterY(gr)
-            val n = idx.crossings(zi, y, xbuf)
+            val n = idx.crossings(zi, y, xbuf, grid.gt.py < 0)
             var k = 0
             while (k + 1 < n) {
-              // pixel centers STRICTLY inside (xa, xb) — boundary
-              // centers excluded (center rule; fixtures avoid ties)
+              // pixel centers in [loD, hiD) in PIXEL-space x: a center
+              // exactly on the interval's pixel-LEFT crossing belongs
+              // to the zone, one on the pixel-RIGHT does not — the
+              // raster top-left tie convention (with the pixel-space
+              // half-open y rule in `crossings`)
               val xa = xbuf(k); val xb = xbuf(k + 1)
               val lo = (xa - x0g) / pxw - 0.5
               val hi = (xb - x0g) / pxw - 0.5
               val (loD, hiD) = if (pxw > 0) (lo, hi) else (hi, lo)
-              val a = math.max(gc0.toDouble, math.floor(loD) + 1).toInt
+              val a = math.max(gc0.toDouble, math.ceil(loD)).toInt
               val b = math.min(gc1.toDouble, math.ceil(hiD) - 1).toInt
               if (a <= b) fill(a, b)
               k += 2
@@ -203,13 +206,15 @@ object ZonalStats {
           if (coversTile) burn(gc0, gc1)
           else {
             val y = grid.gt.pixelCenterY(gr)
-            val n = idx.crossings(zi, y, xbuf)
+            val n = idx.crossings(zi, y, xbuf, grid.gt.py < 0)
             var k = 0
             while (k + 1 < n) {
+              // [loD, hiD) in pixel-space x — top-left tie rule (see
+              // processTile)
               val lo = (xbuf(k) - x0g) / pxw - 0.5
               val hi = (xbuf(k + 1) - x0g) / pxw - 0.5
               val (loD, hiD) = if (pxw > 0) (lo, hi) else (hi, lo)
-              val a = math.max(gc0.toDouble, math.floor(loD) + 1).toInt
+              val a = math.max(gc0.toDouble, math.ceil(loD)).toInt
               val b = math.min(gc1.toDouble, math.ceil(hiD) - 1).toInt
               if (a <= b) burn(a, b)
               k += 2

@@ -28,6 +28,23 @@ object RefOracle {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
   }
 
+  /** Pixel-center membership with the raster top-left tie rule, as an
+    * INDEPENDENT formulation from the engine's scanline arithmetic:
+    * plain JTS containment of the center, and for centers exactly ON
+    * the boundary, containment of the center nudged infinitesimally
+    * right+down in PIXEL space (+px, +py geo direction) — on a top or
+    * left edge the nudge lands in the interior (member), on a bottom
+    * or right edge it exits (not a member). */
+  private def containsTopLeft(geom: org.locationtech.jts.geom.Geometry,
+      gf: GeometryFactory, grid: RasterGrid, cx: Double,
+      cy: Double): Boolean = {
+    val p = gf.createPoint(new Coordinate(cx, cy))
+    if (geom.contains(p)) true
+    else if (!geom.intersects(p)) false // strictly outside
+    else geom.contains(gf.createPoint(new Coordinate(
+      cx + grid.gt.px * 1e-7, cy + grid.gt.py * 1e-7)))
+  }
+
   def zonalStats(grid: RasterGrid, valueFn: (Int, Int) => Float,
       zonesRaw: Seq[Zone], nodata: Option[Double],
       percentilesRaw: Seq[Double] = Nil,
@@ -64,9 +81,9 @@ object RefOracle {
           val (c0, c1) = grid.centerColRange(env.getMinX, env.getMaxX)
           val (r0, r1) = grid.centerRowRange(env.getMinY, env.getMaxY)
           for (gr <- r0 to r1; gc <- c0 to c1) {
-            val p = gf.createPoint(new Coordinate(
-              grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr)))
-            if (z.geom.contains(p)) owner((gr, gc)) = z.fid
+            if (containsTopLeft(z.geom, gf, grid,
+                grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr)))
+              owner((gr, gc)) = z.fid
           }
         }
         Some((gr, gc) => owner.get((gr, gc)))
@@ -84,11 +101,10 @@ object RefOracle {
       while (gr <= r1) {
         var gc = c0
         while (gc <= c1) {
-          val p = gf.createPoint(new Coordinate(
-            grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr)))
           val assigned = ownerOf match {
             case Some(f) => f(gr, gc).contains(z.fid)
-            case None => z.geom.contains(p)
+            case None => containsTopLeft(z.geom, gf, grid,
+              grid.gt.pixelCenterX(gc), grid.gt.pixelCenterY(gr))
           }
           if (assigned) {
             any = true

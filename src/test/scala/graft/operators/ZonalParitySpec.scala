@@ -67,6 +67,41 @@ class ZonalParitySpec extends SparkSpec {
         z.copy(fid = z.fid + 100)), Seq(5.0, 95.0), simplify = false)
   }
 
+  test("boundary ties: top-left rule matches oracle and exact counts") {
+    val zones = Fixtures.zonesTies(grid)
+    // simplify=false: ½px DP would collapse the 1-px tie rect; the
+    // rasterize tie rule is what's under test here
+    check(zones, Nil, simplify = false)
+    // exact membership under the top-left rule: the rect keeps its
+    // half-open box (30×30), the triangle rows 60..79 keep cols
+    // [60, 140-gr) (Σ 20..1 = 210), the 1-px center rect keeps exactly
+    // its top-left pixel
+    val res = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones,
+      grid, Some(-9999.0), simplify = false)
+    val counts = res.collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[Long]("count")).toMap
+    assert(counts("tl_rect") === 900L)
+    assert(counts("tl_tri") === 210L)
+    assert(counts("tl_1px") === 1L)
+  }
+
+  test("boundary ties: last-wins kernel applies the same rule") {
+    // two adjacent center rects sharing the tie edge at col 40: the
+    // left rect owns the boundary centers' column under [c0, c1) for
+    // BOTH kernels, so burning order cannot matter here
+    val zones = Seq(
+      Fixtures.centerRectPx(grid, 1, "left", 10, 20, 40, 50),
+      Fixtures.centerRectPx(grid, 2, "right", 40, 20, 70, 50))
+    val pair = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones,
+      grid, Some(-9999.0))
+    val lw = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones,
+      grid, Some(-9999.0), lastWins = true)
+    def cnts(df: DataFrame) = df.collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[Long]("count")).toMap
+    assert(cnts(pair) === Map("left" -> 900L, "right" -> 900L))
+    assert(cnts(pair) === cnts(lw))
+  }
+
   test("no-intersection short-circuit returns zero stats for all groups") {
     val zones = Seq(
       graft.geom.Zone.rect(1, "a", 200.0, 10.0, 210.0, 20.0),
