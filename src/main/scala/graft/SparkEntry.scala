@@ -47,6 +47,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, sf) => GQ.sessionize(s, sf)),
     "q_rollup_pricing" -> ((s, sf) => GQ.rollupPricing(s, sf)),
     "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
+    "q_ivf_trained" -> ((s, sf) => DQ.ivfTrained(s, sf)),
     // training-data pipeline operators
     "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_sessionize" -> GQ.sessionizeSql,
     "q_rollup_pricing" -> GQ.rollupPricingSql,
     "q_ivf_topk" -> DQ.ivfTopKSql,
+    "q_ivf_trained" -> DQ.ivfTrainedSql,
     "q_dedup_exact" -> DQ.dedupExactSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,

@@ -382,7 +382,10 @@ FROM (
       "cent_id", "cvec", k = IvfK, nProbe = IvfProbes)
   }
 
-  val ivfTopKSql: String = {
+  /** IVF oracle body shared by the fixed-quantizer and trained-
+    * quantizer queries: assignment / probes / scoring over the
+    * embeddings parquet, parameterized by the `cents` CTE. */
+  private def ivfSql(centsCte: String): String = {
     def l2(a: String, b: String) =
       s"""(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
@@ -396,8 +399,7 @@ FROM (
          FROM (SELECT unnest($b) AS y)))))"""
     s"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-  WHERE vec_id < $IvfCentroids
+  $centsCte
 ),
 asg AS (
   SELECT vec_id, cent_id AS list_id FROM (
@@ -431,6 +433,62 @@ SELECT query_id, cand_id, CAST(rank AS INT) AS rank, score FROM (
   FROM scored
 ) WHERE rank <= $IvfK"""
   }
+
+  val ivfTopKSql: String = ivfSql(
+    s"SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings " +
+      s"WHERE vec_id < $IvfCentroids")
+
+  // ---- IVF with a TRAINED coarse quantizer (deterministic k-means) ----
+  private val IvfTrainN = 64
+  private val IvfTrainDim = 64
+  private val IvfTrainK = 8
+  private val IvfTrainIters = 5
+
+  /** Deterministic training vector component (id, i): identical
+    * arithmetic on the Spark side (column expressions), in pure Scala
+    * (the oracle's centroid computation) and implicitly in DuckDB —
+    * the oracle embeds only the FINAL trained centroids as literals,
+    * the knnZonesSql pattern for engine-computed values. */
+  private def trainVal(id: Long, i: Int): Float =
+    (((id * 13 + i * 7) % 53).toDouble / 53.0 - 0.5).toFloat
+
+  /** Trained quantizer, computed once in pure Scala (the same
+    * [[graft.operators.KMeans.lloyd]] the Spark path runs). */
+  private lazy val trainedCentroids: Array[Array[Float]] =
+    graft.operators.KMeans.lloyd(
+      (0L until IvfTrainN.toLong).map(id =>
+        Array.tabulate(IvfTrainDim)(i => trainVal(id, i))).toIndexedSeq,
+      IvfTrainK, IvfTrainIters)
+
+  /** IVF top-k with an ENGINE-TRAINED coarse quantizer: the trainer
+    * runs through the real Spark path (DataFrame sample → driver
+    * Lloyd's), then the embeddings table is assigned/probed through
+    * the shuffle-free ivfTopK join. The training set is synthesized
+    * from a pure formula so the static oracle can embed the identical
+    * centroids; determinism of the Spark-side training against the
+    * pure-Scala computation is asserted in-query. */
+  def ivfTrained(spark: SparkSession, sf: String): DataFrame = {
+    val train = spark.range(IvfTrainN).select(col("id"),
+      transform(sequence(lit(0), lit(IvfTrainDim - 1)),
+        i => ((col("id") * 13 + i * 7) % 53).cast("double")
+          .divide(lit(53.0)).minus(lit(0.5)).cast("float")).as("vec"))
+    val cents = graft.operators.KMeans.trainFromDataFrame(
+      train, "id", "vec", IvfTrainK, IvfTrainIters, IvfTrainN)
+    require(cents.map(_.toSeq) sameElements trainedCentroids.map(_.toSeq),
+      "Spark-side k-means diverged from the deterministic training")
+    val e = t(spark, sf, "embeddings")
+    val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfTopK(e, queries,
+      graft.operators.KMeans.centroidsDf(spark, cents),
+      "vec_id", "embedding", "cent_id", "cvec",
+      k = IvfK, nProbe = IvfProbes)
+  }
+
+  val ivfTrainedSql: String = ivfSql(
+    trainedCentroids.zipWithIndex.map { case (v, i) =>
+      s"SELECT CAST($i AS BIGINT) AS cent_id, " +
+        s"CAST([${v.mkString(", ")}] AS REAL[]) AS cvec"
+    }.mkString("\n  UNION ALL "))
 
   // ---- multimodal: audio frame-sampling over a binary column ----
   val AudioTracks = 50

@@ -42,6 +42,37 @@ object ZonalEngine {
   def normalizePercentiles(ps: Seq[Double]): Seq[Double] =
     ps.distinct.sorted
 
+  /** Tile-count threshold for the SCALE-AWARE percentile default: at
+    * 128² px/tile this is ~68 Gpx — beyond it, concentrating a
+    * group's raw values on one reducer (the exact numpy-parity path)
+    * stops being a sane default and the mergeable Greenwald-Khanna
+    * sketch takes over. Callers needing bit-parity at any size pass
+    * an explicit override. */
+  val ExactPercentileMaxTiles: Long = 4L * 1024 * 1024
+
+  /** true = exact percentiles. Auto mode (None override): exact while
+    * the table is small enough, sketch beyond the threshold. */
+  def choosePercentileMode(tableTiles: Long,
+      exactOverride: Option[Boolean] = None): Boolean =
+    exactOverride.getOrElse(tableTiles <= ExactPercentileMaxTiles)
+
+  /** Table-level entry: the manifest-pruned zonal run with the
+    * percentile mode chosen from the table's size (see
+    * [[choosePercentileMode]]) unless overridden. */
+  def runTable(spark: SparkSession, table: graft.sources.TileTable,
+      zonesRaw: Seq[Zone], percentilesRaw: Seq[Double] = Nil,
+      lastWins: Boolean = false,
+      exactPercentilesOverride: Option[Boolean] = None): DataFrame = {
+    val env = new org.locationtech.jts.geom.Envelope()
+    zonesRaw.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val exact = choosePercentileMode(
+      table.manifest.files.map(_.rows).sum, exactPercentilesOverride)
+    run(spark, table.readPruned(spark, env), zonesRaw, table.grid,
+      table.nodata, percentilesRaw, exactPercentiles = exact,
+      lastWins = lastWins,
+      fallbackTiles = Some(e => table.readPruned(spark, e)))
+  }
+
   /** @param exactPercentiles true (default) = exact numpy-parity
     *   percentiles (concatenate+sort per group — the reference's
     *   semantics, runner.py:823-904; a giant group's values land on

@@ -29,4 +29,24 @@ object EventJoin {
       .select(col("p_user").as("user_id"), col("p_ts"), col("p_value"),
         col("c_ts"), col("c_value"))
   }
+
+  /** Left-outer variant — the streaming analogue of the batch as-of
+    * join's outer semantics ([[graft.operators.Joins.asofBackward]]):
+    * EVERY purchase emits; one with no click in its lookback window
+    * emits exactly once with NULL click columns, as soon as the click
+    * watermark proves no matching click can still arrive. Same
+    * bounded-state story as the inner join — the outer row is held
+    * only until the watermark passes its window. */
+  def purchasesWithRecentClicksOuter(purchases: DataFrame,
+      clicks: DataFrame, windowMinutes: Int,
+      watermark: String): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val c = clicks.withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+          c_ts BETWEEN p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"""),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("p_ts"), col("p_value"),
+        col("c_ts"), col("c_value"))
+  }
 }

@@ -91,6 +91,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@3 $recall < 0.7")
   }
 
+  /** Clustered data (8 well-separated direction clusters + jitter):
+    * the shape IVF is built for. */
+  private def mkClustered(perCluster: Int, dim: Int) = {
+    val rows = for (c <- 0 until 8; j <- 0 until perCluster) yield {
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == c) 4.0 else 0.2 * (((c * 31 + d * 7) % 11) - 5)
+        (center + 0.05 * (((c * 131 + j * 37 + d * 13) % 19) - 9)).toFloat
+      }
+      Row((c * perCluster + j).toLong, v)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+  }
+
+  test("k-means trainer: deterministic, and trained IVF recall@k >= 0.9") {
+    val df = mkClustered(perCluster = 40, dim = 16)
+    val c1 = KMeans.trainFromDataFrame(df, "vec_id", "embedding",
+      k = 8, iters = 10, sampleSize = 160)
+    val c2 = KMeans.trainFromDataFrame(df, "vec_id", "embedding",
+      k = 8, iters = 10, sampleSize = 160)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq,
+      "training is not deterministic")
+
+    val queries = df.where(col("vec_id") % 20 === 3)
+    def topk(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.cosineTopK(df, queries, "vec_id",
+      "embedding", k = 5))
+    val ivf = topk(Similarity.ivfTopK(df, queries,
+      KMeans.centroidsDf(spark, c1), "vec_id", "embedding",
+      "cent_id", "cvec", k = 5, nProbe = 2))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"trained-IVF recall@5 $recall < 0.9")
+  }
+
   test("cosine of identical vectors is 1.0") {
     val df = mkVecs(3, 8)
     val self = df.select(

@@ -109,6 +109,32 @@ class ZonalParitySpec extends SparkSpec {
     check(zones, Seq(5.0))
   }
 
+  test("scale-aware percentile default: exact small, sketch past threshold") {
+    assert(ZonalEngine.choosePercentileMode(1000L))
+    assert(!ZonalEngine.choosePercentileMode(
+      ZonalEngine.ExactPercentileMaxTiles + 1))
+    // explicit override beats the size heuristic in both directions
+    assert(ZonalEngine.choosePercentileMode(Long.MaxValue, Some(true)))
+    assert(!ZonalEngine.choosePercentileMode(1L, Some(false)))
+
+    // a fixture-sized table picks the exact path: runTable output is
+    // value-identical to the explicit exact run
+    val base = java.nio.file.Files.createTempDirectory("graft-pctmode")
+    val root = s"$base/table"
+    graft.sources.TileTable.write(spark, Synth.tiles(spark, grid), grid,
+      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
+    val table = graft.sources.TileTable.open(root)
+    val zones = Fixtures.zonesBasic(grid)
+    val auto = ZonalEngine.runTable(spark, table, zones, Seq(50.0))
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Any]("p50"))).toMap
+    val exact = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones,
+      grid, Some(-9999.0), Seq(50.0))
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Any]("p50"))).toMap
+    assert(auto === exact)
+  }
+
   test("partition-count invariance") {
     val zones = Fixtures.zonesBasic(grid)
     val t1 = Synth.tiles(spark, grid).repartition(1)
