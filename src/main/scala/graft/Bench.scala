@@ -132,6 +132,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Direct zonal-only run (no overlap join) — the apples-to-apples
+    * denominator for the checkpointed-path overhead ratio. */
+  def runZonalOnly(spark: SparkSession, root: String): Double = {
+    val table = TileTable.open(root)
+    val zones = benchZones(table.grid)
+    val t0 = System.nanoTime()
+    val n = ZonalEngine.run(spark, table.read(spark), zones,
+      table.grid, table.nodata).count()
+    require(n > 0)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Checkpointed-path run (chunked + lineage + resume machinery) —
     * measures the overhead of resumability vs the direct path. */
   def runCheckpointed(spark: SparkSession, root: String): Double = {
@@ -139,9 +151,10 @@ object Bench {
     val zones = benchZones(table.grid)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-bench-ckpt").toString
+    val maxChunks = sys.env.getOrElse("GRAFT_CKPT_MAXCHUNKS", "64").toInt
     val t0 = System.nanoTime()
     val n = graft.engine.Checkpoints.resumableGroupStats(spark, table,
-      zones, ckpt, runId = "bench").count()
+      zones, ckpt, runId = "bench", maxChunks = maxChunks).count()
     require(n > 0)
     val wall = (System.nanoTime() - t0) / 1e9
     graft.engine.Checkpoints.deleteRecursively(
@@ -253,7 +266,11 @@ object Bench {
     val s32 = session(32)
 
     // per-path lines: checkpointed (resumable) vs direct, and the
-    // pruned+indexed sliver-fallback pass
+    // pruned+indexed sliver-fallback pass. zonal_direct_p32 is the
+    // zonal-only denominator (the p32 workload number also includes
+    // the overlap join).
+    results("zonal_direct_p32") =
+      median((1 to 3).map(_ => runZonalOnly(s32, root)))
     results("zonal_checkpointed_p32") =
       median((1 to 3).map(_ => runCheckpointed(s32, root)))
     results("fallback_sliver_p32") =
@@ -278,7 +295,12 @@ object Bench {
     val thr32 = tiles / t32
     val eff28 = thr8 / (4.0 * thr2)
     val eff832 = thr32 / (4.0 * thr8)
+    // same-definition ratio as round 2 (÷ full p32 workload) for
+    // cross-round comparability, PLUS the apples-to-apples ratio
+    // against the zonal-only direct run
     val ckptRatio = results("zonal_checkpointed_p32") / t32
+    val ckptRatioZonal =
+      results("zonal_checkpointed_p32") / results("zonal_direct_p32")
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     // driver contract: ONE JSON line (throughputs from WARM medians;
@@ -300,7 +322,8 @@ object Bench {
       s""""scaling_efficiency":$eff28,""" +
       s""""scaling_efficiency_2_8":$eff28,""" +
       s""""scaling_efficiency_8_32":$eff832,""" +
-      s""""checkpointed_over_direct":$ckptRatio}"""
+      s""""checkpointed_over_direct":$ckptRatio,""" +
+      s""""checkpointed_over_direct_zonal":$ckptRatioZonal}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
     println(line)

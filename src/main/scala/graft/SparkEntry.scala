@@ -24,6 +24,7 @@ object SparkEntry {
     "q_zonal_reprojected" -> ((s, _) => EQ.zonalReprojected(s)),
     "q_zonal_band2" -> ((s, _) => EQ.zonalBand2(s)),
     "q_zonal_ties" -> ((s, _) => EQ.zonalTies(s)),
+    "q_zonal_table" -> ((s, _) => EQ.zonalTable(s)),
     // spatial extras (north-star ops)
     "q_overlap_area" -> ((s, _) => EQ.overlapArea(s)),
     "q_knn_zones" -> ((s, sf) => EQ.knnZones(s, sf)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_zonal_reprojected" -> EQ.zonalReprojectedSql,
     "q_zonal_band2" -> EQ.zonalBand2Sql,
     "q_zonal_ties" -> EQ.zonalTiesSql,
+    "q_zonal_table" -> EQ.zonalTableSql,
     "q_overlap_area" -> EQ.overlapAreaSql,
     "q_knn_zones" -> EQ.knnZonesSql,
     "q_tile_stats" -> EQ.tileStatsSql,

@@ -62,9 +62,11 @@ object Checkpoints {
     * chunk would rebuild a multi-MB buffer chunks× times on the
     * driver); per-chunk fingerprints mix in only the file stats.
     * File pixel CONTENT is represented by the per-file
-    * (path, cellMin, cellMax, rows) stats — rewriting a table in
-    * place with identical stats defeats this (document: use a fresh
-    * table root or ckptDir when regenerating data). */
+    * (path, cellMin, cellMax, rows, byteSize) stats — see
+    * [[fingerprint]]; a regenerated file virtually always changes its
+    * compressed size, so in-place rewrites invalidate checkpoints
+    * (byte-identical regeneration is the one remaining blind spot —
+    * and is also harmless). */
   def contextDigest(zones: Seq[Zone], manifest: TileManifest,
       collectValues: Boolean): String = {
     val sb = new StringBuilder
@@ -115,15 +117,18 @@ object Checkpoints {
     * frame (fid, vals) when `collectValues`, and the number of chunks
     * actually (re)computed this run.
     *
-    * Chunk outputs are PRE-AGGREGATED per FID before the parquet
-    * write when values are not collected: chunk outputs only ever
-    * merge through the algebraic [[ZonalStats.fidStats]] reduction
-    * (sum/min/max), so persisting zone-cardinality rows instead of
-    * per-(tile,fid) partials is result-identical while cutting the
-    * checkpoint's parquet I/O from O(tiles × zones-per-tile) to
-    * O(zones) per chunk — the reason the resumable path can track the
-    * direct path's wall clock. Raw partials (with `vals`) are written
-    * only when the exact-percentile path needs the value chunks.
+    * Chunk outputs are PRE-AGGREGATED per FID: chunk outputs only
+    * ever merge through an algebraic (sum/min/max) reduction, so a
+    * chunk persists zone-cardinality rows, not per-(tile,fid)
+    * partials. The non-percentile path goes further: ONE Spark job
+    * per chunk (per-partition pre-agg collected to the driver) and a
+    * driver-side atomic `stats.json` — no cache, no second pass over
+    * the kernel output, no per-chunk parquet commit protocol — so
+    * resumability costs only the chunking itself and the path tracks
+    * the direct run's wall clock. Raw partials (with `vals`) are
+    * written as parquet only when the exact-percentile path needs the
+    * value chunks. Merge order is fixed (partition, fid, chunk), so
+    * resumed and fresh runs are float64-bit-identical.
     *
     * @param filesOverride restrict the run to these manifest files
     *   (e.g. [[graft.sources.TileTable.prunedFiles]] of the zones'
@@ -160,25 +165,64 @@ object Checkpoints {
         val dir = chunkDir(ckptDir, i)
         val tiles = spark.read.parquet(
           files.map(f => s"${table.root}/${f.path}"): _*)
-        val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
-          collectValues, lastWins).persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          // one kernel pass fills the cache; metrics + write both
-          // read the persisted partials
-          val metrics = partials
-            .groupBy(spark_partition_id().as("partition"))
-            .agg(count(lit(1)).as("partial_rows"),
-              sum("cnt").as("pixels"))
+        if (collectValues) {
+          // percentile (parity-mode) runs need the raw value chunks:
+          // cache the partials, derive metrics + the parquet write
+          // from ONE kernel pass
+          val partials = ZonalStats.tilePartials(tiles, bc, grid, nodata,
+            collectValues = true, lastWins)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val metrics = partials
+              .groupBy(spark_partition_id().as("partition"))
+              .agg(count(lit(1)).as("partial_rows"),
+                sum("cnt").as("pixels"))
+              .collect()
+            partials.write.mode("overwrite").parquet(s"$dir/partials")
+            writeLineage(dir, i, files, fp, runId,
+              (System.nanoTime() - t0) / 1e6,
+              metrics.map(r => (r.getInt(0), r.getLong(1),
+                if (r.isNullAt(2)) 0L else r.getLong(2))))
+          } finally partials.unpersist()
+        } else {
+          // ONE Spark job per chunk: per-(partition, fid) pre-agg
+          // collected to the driver (zone-cardinality × scan-partition
+          // rows — a few KB), then a driver-side atomic stats file.
+          // No cache, no second pass, no per-chunk parquet commit
+          // protocol — the chunk's cost is the kernel, full stop.
+          // The (partition, fid) ordering fixes the float64 merge
+          // order, so resumed and fresh runs are bit-identical.
+          val rows = ZonalStats.tilePartials(tiles, bc, grid, nodata,
+              collectValues = false, lastWins)
+            .toDF()
+            .withColumn("_part", spark_partition_id())
+            .groupBy("_part", "fid")
+            .agg(count(lit(1)).as("nrows"), sum("cnt").as("cnt"),
+              sum("nodata").as("nodata"), min("mn").as("mn"),
+              max("mx").as("mx"), sum("sum").as("sum"),
+              sum("sumsq").as("sumsq"))
             .collect()
-          val out =
-            if (collectValues) partials.toDF()
-            else ZonalStats.fidStats(partials).coalesce(1)
-          out.write.mode("overwrite").parquet(s"$dir/partials")
+            .sortBy(r => (r.getInt(0), r.getLong(1)))
+          val metrics = rows.groupBy(_.getInt(0)).toSeq.map {
+            case (part, rs) =>
+              (part, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum)
+          }.toArray
+          val byFid = scala.collection.mutable.LinkedHashMap
+            .empty[Long, ChunkFidStat]
+          rows.foreach { r =>
+            val fid = r.getLong(1)
+            val s = byFid.getOrElseUpdate(fid,
+              ChunkFidStat(fid, 0L, 0L, Double.PositiveInfinity,
+                Double.NegativeInfinity, 0.0, 0.0))
+            byFid(fid) = ChunkFidStat(fid,
+              s.cnt + r.getLong(3), s.nodata + r.getLong(4),
+              math.min(s.mn, r.getDouble(5)), math.max(s.mx, r.getDouble(6)),
+              s.sum + r.getDouble(7), s.sumsq + r.getDouble(8))
+          }
+          writeChunkStats(dir, byFid.values.toSeq.sortBy(_.fid))
           writeLineage(dir, i, files, fp, runId,
-            (System.nanoTime() - t0) / 1e6,
-            metrics.map(r => (r.getInt(0), r.getLong(1),
-              if (r.isNullAt(2)) 0L else r.getLong(2))))
-        } finally partials.unpersist()
+            (System.nanoTime() - t0) / 1e6, metrics)
+        }
         computed.incrementAndGet()
       }
     }
@@ -196,21 +240,81 @@ object Checkpoints {
       Progress.detach(spark, progress)
     }
 
+    import spark.implicits._
     if (chunks.isEmpty) {
       // nothing to scan (fully pruned table): empty fid-stats frame
-      import spark.implicits._
       val empty = Seq.empty[(Long, Long, Long, Double, Double, Double,
         Double)].toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
       return (empty, None, 0)
     }
-    val all = spark.read.parquet(
-      chunks.indices.map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
-    val vals =
-      if (collectValues)
-        Some(all.select(col("fid"), col("vals"))
-          .where(size(col("vals")) > 0))
-      else None
-    (ZonalStats.fidStats(all.drop("vals")), vals, computed.get())
+    if (collectValues) {
+      val all = spark.read.parquet(
+        chunks.indices.map(i => s"${chunkDir(ckptDir, i)}/partials"): _*)
+      val vals = Some(all.select(col("fid"), col("vals"))
+        .where(size(col("vals")) > 0))
+      (ZonalStats.fidStats(all.drop("vals")), vals, computed.get())
+    } else {
+      // cross-chunk merge is a driver-side fold over the chunk stats
+      // files in chunk order (zone-cardinality rows per chunk) —
+      // deterministic float64 order, no Spark job at all
+      val byFid = scala.collection.mutable.LinkedHashMap
+        .empty[Long, ChunkFidStat]
+      chunks.indices.foreach { i =>
+        readChunkStats(chunkDir(ckptDir, i)).foreach { s =>
+          val m = byFid.get(s.fid)
+          byFid(s.fid) = m match {
+            case None => s
+            case Some(p) => ChunkFidStat(s.fid, p.cnt + s.cnt,
+              p.nodata + s.nodata, math.min(p.mn, s.mn),
+              math.max(p.mx, s.mx), p.sum + s.sum, p.sumsq + s.sumsq)
+          }
+        }
+      }
+      val merged = byFid.values.toSeq.sortBy(_.fid)
+        .map(s => (s.fid, s.cnt, s.nodata, s.mn, s.mx, s.sum, s.sumsq))
+        .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+      (merged, None, computed.get())
+    }
+  }
+
+  /** One chunk's per-FID algebraic stats. */
+  final case class ChunkFidStat(fid: Long, cnt: Long, nodata: Long,
+      mn: Double, mx: Double, sum: Double, sumsq: Double)
+
+  /** Chunk stats sidecar (stats.json, written atomically BEFORE
+    * lineage.json): doubles stored as raw IEEE-754 bits so ±Infinity
+    * sentinels and exact values survive the JSON round-trip. */
+  private def writeChunkStats(dir: String,
+      stats: Seq[ChunkFidStat]): Unit = {
+    val o = mapper.createArrayNode()
+    stats.foreach { s =>
+      val n = o.addObject()
+      n.put("fid", s.fid); n.put("cnt", s.cnt); n.put("nodata", s.nodata)
+      n.put("mn", java.lang.Double.doubleToRawLongBits(s.mn))
+      n.put("mx", java.lang.Double.doubleToRawLongBits(s.mx))
+      n.put("sum", java.lang.Double.doubleToRawLongBits(s.sum))
+      n.put("sumsq", java.lang.Double.doubleToRawLongBits(s.sumsq))
+    }
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, ".stats.json.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(o))
+    Files.move(tmp, Paths.get(dir, "stats.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readChunkStats(dir: String): Seq[ChunkFidStat] = {
+    val p = Paths.get(dir, "stats.json")
+    val arr = mapper.readTree(Files.readString(p))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkFidStat]
+    arr.forEach { n =>
+      out += ChunkFidStat(n.get("fid").asLong(), n.get("cnt").asLong(),
+        n.get("nodata").asLong(),
+        java.lang.Double.longBitsToDouble(n.get("mn").asLong()),
+        java.lang.Double.longBitsToDouble(n.get("mx").asLong()),
+        java.lang.Double.longBitsToDouble(n.get("sum").asLong()),
+        java.lang.Double.longBitsToDouble(n.get("sumsq").asLong()))
+    }
+    out.toSeq
   }
 
   /** Full resumable zonal run: chunked partials → merge → the shared

@@ -105,6 +105,38 @@ LEFT JOIN (
   FROM asg GROUP BY grp
 ) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
 
+  /** The table-level entry (`ZonalEngine.runTable`) under the oracle
+    * gate: manifest-pruned scan + fallback pruning + the size-chosen
+    * percentile mode (fixture-sized table → exact path) — the API a
+    * library user calls first. */
+  def zonalTable(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val base = java.nio.file.Files.createTempDirectory("graft-q-table")
+    val root = s"$base/table"
+    graft.sources.TileTable.write(spark, Synth.tiles(spark, grid), grid,
+      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
+    val table = graft.sources.TileTable.open(root)
+    ZonalEngine.runTable(spark, table, Fixtures.zonesBasic(grid),
+      percentilesRaw = Seq(50.0))
+      .select(col("group").as("grp"),
+        col("valid_count").as("valid_cnt"),
+        col("sum").as("sum_v"),
+        round(col("p50"), 6).as("p50"))
+  }
+
+  val zonalTableSql: String = s"""$zonalPrologue
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  COALESCE(g.sv, 0.0) AS sum_v,
+  round(q.q50, 6) AS p50
+FROM groups
+LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp
+LEFT JOIN (
+  SELECT grp,
+    quantile_cont(v, 0.5) FILTER (WHERE v <> -9999.0) AS q50
+  FROM asg GROUP BY grp
+) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
+
   /** Last-burn-wins rasterize semantics (the reference's job path,
     * polygons_might_overlap=False): overlapping pixels belong to the
     * zone burned last (here: highest fid — zones pass in fid order). */

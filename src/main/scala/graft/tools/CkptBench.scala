@@ -5,13 +5,17 @@ package graft.tools
 object CkptBench {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 2
+    val root = "/root/repo/data/bench_tiles"
     val s = graft.Bench.session(32)
-    val direct = graft.Bench.runWorkload(s, "/root/repo/data/bench_tiles")
+    // warm the session + the honest zonal-only denominator
+    val direct = (1 to 3).map(_ => graft.Bench.runZonalOnly(s, root)).min
     (1 to reps).foreach { _ =>
-      val t = graft.Bench.runCheckpointed(s, "/root/repo/data/bench_tiles")
+      val t = graft.Bench.runCheckpointed(s, root)
       // scalastyle:off println
-      println(f"CKPT $t%.2f s direct=$direct%.2f s " +
-        f"conc=${sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "12")}")
+      println(f"CKPT $t%.2f s directZonal=$direct%.2f s " +
+        f"ratio=${t / direct}%.2f " +
+        f"conc=${sys.env.getOrElse("GRAFT_CKPT_CONCURRENCY", "12")} " +
+        f"maxChunks=${sys.env.getOrElse("GRAFT_CKPT_MAXCHUNKS", "64")}")
       // scalastyle:on println
     }
     s.stop()

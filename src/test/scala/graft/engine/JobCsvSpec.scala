@@ -62,6 +62,47 @@ class JobCsvSpec extends SparkSpec {
     }
   }
 
+  test("job crash-resume: byte-identical CSV, finished chunks not redone") {
+    val work = Files.createTempDirectory("graft-job-resume")
+    TileTable.write(spark, Synth.tiles(spark, grid, "raw", 0), grid,
+      Some(-9999.0), s"$work/rasterA", cellLevel = 8, numFiles = 4)
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+    val job = Config.JobSpec(
+      tag = "t1", aggVector = s"$vecDir/zones.parquet",
+      aggLayer = "zones", aggField = "grp_field",
+      rasterPaths = Seq(s"$work/rasterA"),
+      operations = Seq("avg", "p5", "p95"),
+      rowColOrder = "agg_field,base_raster", workdir = s"$work/wd",
+      outputCsv = s"$work/out.csv")
+
+    val csv1 = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    val ckpt = s"$work/wd/ckpt_rasterA"
+    val table = TileTable.open(s"$work/rasterA")
+    val nChunks = Checkpoints.chunkFiles(table.manifest.files,
+      Checkpoints.DefaultMaxChunks).size
+    assert(nChunks >= 2)
+    val run1Ids = (0 until nChunks).map(Checkpoints.lineageRunId(ckpt, _))
+    assert(run1Ids.forall(_.isDefined))
+
+    // crash-after-k-chunks state: the CSV never landed and the last
+    // chunk is incomplete; finished chunks survive in the workdir
+    Files.deleteIfExists(Paths.get(job.outputCsv))
+    Checkpoints.deleteRecursively(
+      Paths.get(Checkpoints.chunkDir(ckpt, nChunks - 1)))
+
+    val csv2 = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    assert(csv2 === csv1, "resumed CSV differs from the original run")
+    // finished chunks kept their original lineage (not recomputed);
+    // only the interrupted chunk was redone under a new run id
+    (0 until nChunks - 1).foreach { i =>
+      assert(Checkpoints.lineageRunId(ckpt, i) === run1Ids(i), s"chunk $i")
+    }
+    assert(Checkpoints.lineageRunId(ckpt, nChunks - 1) !==
+      run1Ids(nChunks - 1))
+  }
+
   test("config → job roundtrip via INI file") {
     val work = Files.createTempDirectory("graft-ini")
     TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),

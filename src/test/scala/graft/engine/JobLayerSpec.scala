@@ -192,6 +192,25 @@ class CheckpointSpec extends SparkSpec {
     assert(key(res) === key(direct))
   }
 
+  test("resumable run with fully-pruned table (zones outside) zero-fills") {
+    val grid = Synth.testGrid
+    val root = Files.createTempDirectory("graft-ct4").toString
+    val ckpt = Files.createTempDirectory("graft-ck4").toString
+    TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
+      root, cellLevel = 8, numFiles = 2)
+    val table = TileTable.open(root)
+    // every zone strictly outside the raster → pruned chunk list is
+    // empty; the run must still produce the zero-filled group rows
+    val zones = Seq(
+      graft.geom.Zone.rect(1, "a", 200.0, 10.0, 210.0, 20.0),
+      graft.geom.Zone.rect(2, "b", 220.0, 10.0, 230.0, 20.0))
+    val res = Checkpoints.resumableZonalStats(spark, table, zones, ckpt,
+      runId = "outside")
+    val rows = res.collect().map(r => (r.getAs[String]("group"),
+      r.getAs[Long]("count"))).toMap
+    assert(rows === Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("context digest is sensitive to nodata/grid/band/zone changes") {
     val grid = Synth.testGrid
     val zones = Fixtures.zonesBasic(grid)
