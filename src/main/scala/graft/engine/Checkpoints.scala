@@ -128,7 +128,10 @@ object Checkpoints {
     * the direct run's wall clock. Raw partials (with `vals`) are
     * written as parquet only when the exact-percentile path needs the
     * value chunks. Merge order is fixed (partition, fid, chunk), so
-    * resumed and fresh runs are float64-bit-identical.
+    * resumed and fresh runs are float64-bit-identical. Driver memory
+    * for the merge is O(chunks × zones) — bounded by the same
+    * zones-are-broadcastable assumption the whole engine (and the
+    * reference) makes.
     *
     * @param filesOverride restrict the run to these manifest files
     *   (e.g. [[graft.sources.TileTable.prunedFiles]] of the zones'
