@@ -28,10 +28,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * lineage exists AND whose fingerprint matches the current inputs
   * (zone set, file stats, flags) — a stale or foreign checkpoint dir
   * is recomputed instead of silently merged. The final merge is a pure
-  * reduction over chunk outputs, so interrupted runs resume to
-  * byte-identical results. The kernel (decode + scanline assign) runs
-  * exactly once per chunk: partials are persisted across the metrics
-  * action and the parquet write.
+  * reduction over chunk outputs in a fixed order, so interrupted runs
+  * resume to byte-identical results. The kernel (decode + scanline
+  * assign) runs exactly once per chunk — see [[chunkedFidStats]] for
+  * the one-job-per-chunk layout.
   */
 object Checkpoints {
   private val mapper = new ObjectMapper()
@@ -90,11 +90,17 @@ object Checkpoints {
     * Recorded in lineage.json; resume recomputes on mismatch. */
   def fingerprint(ctx: String, files: Seq[TileFileStat],
       root: String): String = {
+    // Hadoop FileSystem stat, so the byte-size guard works for any
+    // root the table can live on (local, hdfs://, s3a://), not just
+    // java.nio-visible paths
+    val conf = new org.apache.hadoop.conf.Configuration()
     val sb = new StringBuilder(ctx)
     files.foreach { f =>
       val size =
-        try Files.size(Paths.get(root, f.path))
-        catch { case _: Exception => -1L }
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$root/${f.path}")
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        } catch { case _: Exception => -1L }
       sb.append(f.path).append('|').append(f.cellMin).append('|')
         .append(f.cellMax).append('|').append(f.rows).append('|')
         .append(size).append('\n')
@@ -343,8 +349,7 @@ object Checkpoints {
       z.copy(geom = Zone.simplifyHalfPixel(z.geom, table.grid.gt.px)))
     // prune the chunk list to the zones' envelope — a job over a
     // region touches only that region's files, like the direct path
-    val env = new org.locationtech.jts.geom.Envelope()
-    zonesSimpl.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val env = Zone.totalEnvelope(zonesSimpl)
     val (fidStats, vals, _) = chunkedFidStats(spark, table, zonesSimpl,
       ckptDir, runId, collectValues = percs.nonEmpty,
       maxChunks = maxChunks, lastWins = lastWins,

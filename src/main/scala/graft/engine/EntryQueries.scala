@@ -105,17 +105,39 @@ LEFT JOIN (
   FROM asg GROUP BY grp
 ) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
 
+  /** Per-JVM cached fixture tables: the fixtures are deterministic,
+    * so repeated invocations (verify reps, bench loops) reuse one
+    * on-disk table instead of leaking a fresh temp table per call. */
+  private val fixtureTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedFixtureTable(key: String)(
+      write: String => Unit): graft.sources.TileTable = {
+    val root = fixtureTables.computeIfAbsent(key, _ => {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-q-$key")
+      val r = s"$base/table"
+      write(r)
+      r
+    })
+    graft.sources.TileTable.open(root)
+  }
+
+  /** The standard 4-file fixture tile table (shared by the table-level
+    * and checkpointed queries). */
+  private def standardTable(spark: SparkSession): graft.sources.TileTable =
+    cachedFixtureTable("std") { root =>
+      graft.sources.TileTable.write(spark,
+        Synth.tiles(spark, Synth.testGrid), Synth.testGrid,
+        Some(-9999.0), root, cellLevel = 8, numFiles = 4)
+    }
+
   /** The table-level entry (`ZonalEngine.runTable`) under the oracle
     * gate: manifest-pruned scan + fallback pruning + the size-chosen
     * percentile mode (fixture-sized table → exact path) — the API a
     * library user calls first. */
   def zonalTable(spark: SparkSession): DataFrame = {
     val grid = Synth.testGrid
-    val base = java.nio.file.Files.createTempDirectory("graft-q-table")
-    val root = s"$base/table"
-    graft.sources.TileTable.write(spark, Synth.tiles(spark, grid), grid,
-      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
-    val table = graft.sources.TileTable.open(root)
+    val table = standardTable(spark)
     ZonalEngine.runTable(spark, table, Fixtures.zonesBasic(grid),
       percentilesRaw = Seq(50.0))
       .select(col("group").as("grp"),
@@ -240,17 +262,15 @@ FROM asg GROUP BY grp"""
     * band-pruned scan + per-band nodata lookup. */
   def zonalBand2(spark: SparkSession): DataFrame = {
     val grid = Synth.testGrid
-    val base = java.nio.file.Files.createTempDirectory("graft-q-band")
-    val root = s"$base/table"
-    graft.sources.TileTable.write(spark,
-      Synth.tilesMultiBand(spark, grid, Seq(1 -> 0, 2 -> 2)), grid,
-      nodata = Some(-9999.0), root, cellLevel = 8, numFiles = 2,
-      bands = Seq(graft.sources.BandInfo(1, Some(-9999.0)),
-        graft.sources.BandInfo(2, Some(-7777.0))))
-    val table = graft.sources.TileTable.open(root)
+    val table = cachedFixtureTable("band") { root =>
+      graft.sources.TileTable.write(spark,
+        Synth.tilesMultiBand(spark, grid, Seq(1 -> 0, 2 -> 2)), grid,
+        nodata = Some(-9999.0), root, cellLevel = 8, numFiles = 2,
+        bands = Seq(graft.sources.BandInfo(1, Some(-9999.0)),
+          graft.sources.BandInfo(2, Some(-7777.0))))
+    }
     val zones = Fixtures.zonesBasic(grid)
-    val env = new org.locationtech.jts.geom.Envelope()
-    zones.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val env = graft.geom.Zone.totalEnvelope(zones)
     val res = ZonalEngine.run(spark,
       table.readPrunedBand(spark, env, band = 2), zones, grid,
       nodata = table.nodataFor(2))
@@ -356,21 +376,21 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
     * comparison then pins against DuckDB. */
   def zonalCheckpointed(spark: SparkSession): DataFrame = {
     val grid = Synth.testGrid
-    val base = java.nio.file.Files.createTempDirectory("graft-q-ckpt")
-    val root = s"$base/table"
-    graft.sources.TileTable.write(spark, Synth.tiles(spark, grid), grid,
-      Some(-9999.0), root, cellLevel = 8, numFiles = 4)
-    val table = graft.sources.TileTable.open(root)
+    val table = standardTable(spark)
+    // the ckpt dir stays per-invocation: the in-query resume assert
+    // below needs a fresh first-run/second-run pair every call
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q-ckpt")
+      .toString
     val zones = Fixtures.zonesBasic(grid)
     // first run computes all chunks...
     Checkpoints.resumableGroupStats(spark, table, zones,
-      s"$base/ckpt", runId = "verify-1").count()
+      ckpt, runId = "verify-1").count()
     // ...second run must resume (skip every chunk) and yield the result
     val res = Checkpoints.resumableGroupStats(spark, table, zones,
-      s"$base/ckpt", runId = "verify-2")
+      ckpt, runId = "verify-2")
     val nChunks = Checkpoints.chunkFiles(table.manifest.files, Checkpoints.DefaultMaxChunks).size
     require((0 until nChunks).forall(i =>
-      Checkpoints.lineageRunId(s"$base/ckpt", i).contains("verify-1")),
+      Checkpoints.lineageRunId(ckpt, i).contains("verify-1")),
       "resume failed: chunks were recomputed")
     res.select(
       col("group").as("grp"),

@@ -38,11 +38,9 @@ object ZonalJob {
           runId = s"job-${System.nanoTime()}", percentiles = percentiles,
           lastWins = true)
       case None =>
-        ZonalEngine.run(spark, table.readPruned(spark, {
-          val e = new org.locationtech.jts.geom.Envelope()
-          zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
-          e
-        }), zones, table.grid, table.nodata, percentiles, lastWins = true,
+        ZonalEngine.run(spark,
+          table.readPruned(spark, Zone.totalEnvelope(zones)),
+          zones, table.grid, table.nodata, percentiles, lastWins = true,
           fallbackTiles = Some(env => table.readPruned(spark, env)))
     }
     val pKeys = ZonalEngine.percentileKeys(
@@ -54,6 +52,16 @@ object ZonalJob {
       }.toMap
       g -> m
     }.toMap
+  }
+
+  /** Per-raster checkpoint dir, keyed by stem + full-path hash: two
+    * rasters with the same basename in different directories must NOT
+    * share (and concurrently race on) one chunk dir. */
+  def ckptDirFor(job: Config.JobSpec, rasterPath: String): String = {
+    val stem = Paths.get(rasterPath).getFileName.toString
+    val tag = f"${graft.functions.XXHash64.hashString(rasterPath, 7L)}%08x"
+      .takeRight(8)
+    s"${job.workdir}/ckpt_${stem}_$tag"
   }
 
   /** Reference group ordering: `(v is None, str(v))` — lexicographic
@@ -179,7 +187,7 @@ object ZonalJob {
                 ZoneStore.load(spark, job.aggVector, job.aggField),
                 ZoneStore.srs(job.aggVector), table.manifest.srs)
               stem -> singleRaster(spark, table, zones, percentiles,
-                ckptDir = Some(s"${job.workdir}/ckpt_$stem"))
+                ckptDir = Some(ckptDirFor(job, path)))
             }
           })
         }

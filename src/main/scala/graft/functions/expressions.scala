@@ -147,10 +147,17 @@ object SrpBucketImpl {
     ((1L + p * 7919L + d * 104729L) % 1000003L) / 500001.5 - 1.0
 
   /** One pass over the vector; per-plane partial sums accumulate in
-    * ascending element order (bit-parity with a per-plane left fold). */
+    * ascending element order (bit-parity with a per-plane left fold).
+    * A vector SHORTER than `dim` fails loudly — silently truncating
+    * would put the row in a wrong bucket and silently drop its
+    * near-duplicates from every bucket join. (A NULL vector yields a
+    * NULL bucket via the expression's null-intolerance — filter nulls
+    * upstream if such rows must participate.) */
   def compute(arr: ArrayData, dim: Int, numPlanes: Int,
       elemIsDouble: Boolean): Long = {
-    val n = math.min(dim, arr.numElements())
+    require(arr.numElements() >= dim,
+      s"srp_bucket: vector has ${arr.numElements()} elements, needs $dim")
+    val n = dim
     val sums = new Array[Double](numPlanes)
     var d = 0
     while (d < n) {

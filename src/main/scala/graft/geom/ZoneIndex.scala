@@ -38,6 +38,16 @@ object Zone {
     * changes which pixels match; parity requires the same step. */
   def simplifyHalfPixel(g: Geometry, pixelWidth: Double): Geometry =
     DouglasPeuckerSimplifier.simplify(g, math.abs(pixelWidth) * 0.5)
+
+  /** Union envelope of a zone set (the vector extent of
+    * `runner.py:417-422`) — THE definition shared by the bbox
+    * short-circuit, chunk-list pruning, fallback scans and the job
+    * path, so they can never silently disagree. */
+  def totalEnvelope(zones: Seq[Zone]): Envelope = {
+    val e = new Envelope()
+    zones.foreach(z => e.expandToInclude(z.geom.getEnvelopeInternal))
+    e
+  }
 }
 
 /** Broadcastable zone index: serializes the zone list; the STRtree and

@@ -36,10 +36,18 @@ object Joins {
     // semantics). Spark windows group NULL partition keys TOGETHER, so
     // NULL-key rows must not reach the window: NULL-key right rows are
     // dropped, NULL-key left rows bypass the join and come back with
-    // NULL payloads (left-outer semantics preserved).
-    val nullLeft = left.where(col(key).isNull)
-    val left1 = left.where(col(key).isNotNull)
-    val right1 = right.where(col(key).isNotNull)
+    // NULL payloads (left-outer semantics preserved). When the schema
+    // already proves a side's key non-nullable, skip its filter — the
+    // left split would otherwise cost a second scan of the dominant
+    // input for nothing.
+    val leftNullable = left.schema(key).nullable
+    val nullLeft =
+      if (leftNullable) left.where(col(key).isNull) else left.limit(0)
+    val left1 =
+      if (leftNullable) left.where(col(key).isNotNull) else left
+    val right1 =
+      if (right.schema(key).nullable) right.where(col(key).isNotNull)
+      else right
     // the payload travels as ONE struct so the matched right row is
     // atomic: a right row whose payload VALUES are NULL still matches
     // (its struct is non-NULL), and columns can never mix values from

@@ -63,8 +63,7 @@ object ZonalEngine {
       zonesRaw: Seq[Zone], percentilesRaw: Seq[Double] = Nil,
       lastWins: Boolean = false,
       exactPercentilesOverride: Option[Boolean] = None): DataFrame = {
-    val env = new org.locationtech.jts.geom.Envelope()
-    zonesRaw.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
+    val env = Zone.totalEnvelope(zonesRaw)
     val exact = choosePercentileMode(
       table.manifest.files.map(_.rows).sum, exactPercentilesOverride)
     run(spark, table.readPruned(spark, env), zonesRaw, table.grid,
@@ -172,11 +171,8 @@ object ZonalEngine {
     val unset = zones.filter(z => !presentFids.contains(z.fid))
     val (fallbackStats, fallbackChunks) =
       if (unset.isEmpty) (None, None)
-      else {
-        val env = new org.locationtech.jts.geom.Envelope()
-        unset.foreach(z => env.expandToInclude(z.geom.getEnvelopeInternal))
-        runFallback(spark, tilesFor(env), unset, grid, nodata, collectVals)
-      }
+      else runFallback(spark, tilesFor(Zone.totalEnvelope(unset)),
+        unset, grid, nodata, collectVals)
 
     val fidStatsAll = fallbackStats match {
       case Some(fb) => mainFidStats.unionByName(fb)

@@ -31,10 +31,16 @@ object RefOracle {
   /** Pixel-center membership with the raster top-left tie rule, as an
     * INDEPENDENT formulation from the engine's scanline arithmetic:
     * plain JTS containment of the center, and for centers exactly ON
-    * the boundary, containment of the center nudged infinitesimally
-    * right+down in PIXEL space (+px, +py geo direction) — on a top or
-    * left edge the nudge lands in the interior (member), on a bottom
-    * or right edge it exits (not a member). */
+    * the boundary, containment of the center under a LEXICOGRAPHIC
+    * pixel-space perturbation (+δ right, +δ² down): the x-nudge
+    * decides every non-horizontal edge (left edge → enters, right →
+    * exits, and a diagonal edge cannot be collinear with the nudge
+    * because the y-component is orders smaller), while the tiny
+    * y-nudge breaks exactly-horizontal ties (top edge → enters,
+    * bottom → exits). Limit: an edge with |pixel slope| < ~1e-5
+    * (sub-pixel rise over ~10^5 px) through a center would be decided
+    * by the wrong component — below the precision of the scanline
+    * arithmetic itself. */
   private def containsTopLeft(geom: org.locationtech.jts.geom.Geometry,
       gf: GeometryFactory, grid: RasterGrid, cx: Double,
       cy: Double): Boolean = {
@@ -42,7 +48,7 @@ object RefOracle {
     if (geom.contains(p)) true
     else if (!geom.intersects(p)) false // strictly outside
     else geom.contains(gf.createPoint(new Coordinate(
-      cx + grid.gt.px * 1e-7, cy + grid.gt.py * 1e-7)))
+      cx + grid.gt.px * 1e-7, cy + grid.gt.py * 1e-12)))
   }
 
   def zonalStats(grid: RasterGrid, valueFn: (Int, Int) => Float,

@@ -78,7 +78,7 @@ class JobCsvSpec extends SparkSpec {
       outputCsv = s"$work/out.csv")
 
     val csv1 = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
-    val ckpt = s"$work/wd/ckpt_rasterA"
+    val ckpt = ZonalJob.ckptDirFor(job, s"$work/rasterA")
     val table = TileTable.open(s"$work/rasterA")
     val nChunks = Checkpoints.chunkFiles(table.manifest.files,
       Checkpoints.DefaultMaxChunks).size

@@ -85,6 +85,33 @@ class ZonalParitySpec extends SparkSpec {
     assert(counts("tl_1px") === 1L)
   }
 
+  test("boundary ties: 45° diagonals through centers, both orientations") {
+    // centers (g, g) lie exactly ON each hypotenuse; tri1's interior
+    // is on the col>row side (diagonal = pixel-LEFT crossing →
+    // included), tri2's on the col<row side (pixel-RIGHT crossing →
+    // excluded) — the case where a naive (+δ, +δ) oracle nudge is
+    // collinear with the edge and silently disagrees
+    def pt(c: Int, r: Int) = new org.locationtech.jts.geom.Coordinate(
+      grid.gt.pixelCenterX(c), grid.gt.pixelCenterY(r))
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val zones = Seq(
+      graft.geom.Zone(1, "diag_right", gf.createPolygon(Array(
+        pt(60, 60), pt(80, 80), pt(80, 60), pt(60, 60)))),
+      graft.geom.Zone(2, "diag_left", gf.createPolygon(Array(
+        pt(20, 20), pt(40, 40), pt(20, 40), pt(20, 20)))))
+    check(zones, Nil, simplify = false)
+    val res = ZonalEngine.run(spark, Synth.tiles(spark, grid), zones,
+      grid, Some(-9999.0), simplify = false)
+    val counts = res.collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[Long]("count")).toMap
+    // diag_right: row 60 → cols [60,80); rows 61..79 → cols [gr,80):
+    // 20 + Σ_{k=1..19} k = 210 (diagonal centers INCLUDED)
+    assert(counts("diag_right") === 210L)
+    // diag_left: rows 21..39 → cols [20, gr): Σ_{k=1..19} k = 190
+    // (diagonal centers EXCLUDED; top row 20 is the apex → 0 cols)
+    assert(counts("diag_left") === 190L)
+  }
+
   test("boundary ties: last-wins kernel applies the same rule") {
     // two adjacent center rects sharing the tie edge at col 40: the
     // left rect owns the boundary centers' column under [c0, c1) for
