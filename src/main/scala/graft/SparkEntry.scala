@@ -51,6 +51,8 @@ object SparkEntry {
     "q_ivf_trained" -> ((s, sf) => DQ.ivfTrained(s, sf)),
     // training-data pipeline operators
     "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
+    "q_hash_split" -> ((s, sf) => DQ.hashSplit(s, sf)),
+    "q_hash_sample" -> ((s, sf) => DQ.hashSample(s, sf)),
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
     "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
@@ -102,6 +104,8 @@ object SparkEntry {
     "q_ivf_topk" -> DQ.ivfTopKSql,
     "q_ivf_trained" -> DQ.ivfTrainedSql,
     "q_dedup_exact" -> DQ.dedupExactSql,
+    "q_hash_split" -> DQ.hashSplitSql,
+    "q_hash_sample" -> DQ.hashSampleSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,
     "q_simhash" -> DQ.simhash16Sql,

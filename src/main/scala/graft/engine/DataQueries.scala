@@ -330,6 +330,43 @@ SELECT * FROM (
     srpPairSql(cond)
   }
 
+  // ---- deterministic hash split / subsample ----
+
+  /** Train/val/test carve by content-stable hash (80/10/10): the
+    * id-sum per split pins the EXACT membership, not just sizes. */
+  def hashSplit(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+    graft.operators.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .groupBy("split_name")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+
+  val hashSplitSql: String = s"""
+WITH b AS (
+  SELECT doc_id,
+    (${hex2dec("md5(CAST(doc_id AS VARCHAR))")} % 10) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split_name,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY 1"""
+
+  /** Deterministic 1/4 subsample — returns the surviving ids so the
+    * oracle checks exact membership. */
+  def hashSample(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+    graft.operators.Sampling.sampleByHash(docs, "doc_id", 1, 4)
+      .select(col("doc_id"))
+  }
+
+  val hashSampleSql: String = s"""
+SELECT doc_id FROM documents
+WHERE (${hex2dec("md5(CAST(doc_id AS VARCHAR))")} % 4) < 1"""
+
   // ---- hi-dim SRP bucket (production shape) ----
   private val HiDim = 768
   private val HiPlanes = 32

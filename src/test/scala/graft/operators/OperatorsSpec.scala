@@ -137,6 +137,47 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+  }
+
+  test("hashSplit partitions every row into exactly one split, stably") {
+    val s1 = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val byId = s1.select("doc_id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size === 500) // every row assigned exactly once
+    val sizes = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set("train", "val", "test"))
+    // ~80/10/10 within loose bounds (hash-uniform, not RNG)
+    assert(sizes("train") > 350 && sizes("train") < 450, sizes)
+    // stability: a second evaluation assigns identically
+    val byId2 = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select("doc_id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === byId2)
+  }
+
+  test("sampleByHash: exact subset semantics and degenerate fractions") {
+    val all = docs
+    val kept = Sampling.sampleByHash(all, "doc_id", 1, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 500)
+    // the kept set is exactly the bucket-0 rows of the same hash
+    val buckets = all.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === buckets.filter(_._2 == 0L).keySet)
+    assert(Sampling.sampleByHash(all, "doc_id", 4, 4).count() === 500)
+    assert(Sampling.sampleByHash(all, "doc_id", 0, 4).count() === 0)
+  }
+}
+
 class MultimodalStubsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("pcm16 frame sampling is deterministic and counts frames") {
     val bytes = Array.tabulate[Byte](64)(i => (i * 7).toByte)

@@ -87,4 +87,71 @@ class RandomZonalSpec extends SparkSpec {
   test("random zones match oracle on the south-up grid") {
     for (seed <- 11L to 16L) check(southUp, seed)
   }
+
+  /** Adversarial tie load: EVERY vertex sits on a pixel center, so
+    * every edge is a boundary-tie generator for the top-left rule —
+    * random center-aligned rects (incl. 1-px), and 45° right
+    * triangles in all four orientations (exact diagonal crossings:
+    * slope ±1 with dyadic pixel sizes keeps the crossing arithmetic
+    * bit-exact). The oracle decides the same ties via the
+    * lexicographic nudge — an independent formulation. */
+  private def tieZones(rnd: scala.util.Random, grid: RasterGrid,
+      n: Int): Seq[Zone] = {
+    def pt(c: Int, r: Int) = new Coordinate(
+      grid.gt.pixelCenterX(c), grid.gt.pixelCenterY(r))
+    def poly(ps: Coordinate*) =
+      gf.createPolygon((ps :+ ps.head).toArray)
+    (1 to n).map { fid =>
+      val geom = rnd.nextInt(3) match {
+        case 0 =>
+          val c0 = rnd.nextInt(grid.widthPx - 2)
+          val c1 = c0 + 1 + rnd.nextInt(grid.widthPx - 1 - c0)
+          val r0 = rnd.nextInt(grid.heightPx - 2)
+          val r1 = r0 + 1 + rnd.nextInt(grid.heightPx - 1 - r0)
+          poly(pt(c0, r0), pt(c1, r0), pt(c1, r1), pt(c0, r1))
+        case 1 =>
+          val s = 2 + rnd.nextInt(16)
+          val c = rnd.nextInt(grid.widthPx - s - 1)
+          val r = rnd.nextInt(grid.heightPx - s - 1)
+          rnd.nextInt(4) match {
+            case 0 => poly(pt(c, r), pt(c + s, r), pt(c, r + s))
+            case 1 => poly(pt(c, r), pt(c + s, r + s), pt(c + s, r))
+            case 2 => poly(pt(c, r), pt(c + s, r + s), pt(c, r + s))
+            case _ => poly(pt(c + s, r), pt(c + s, r + s), pt(c, r + s))
+          }
+        case _ => // degenerate 1-px center rect
+          val c = rnd.nextInt(grid.widthPx - 1)
+          val r = rnd.nextInt(grid.heightPx - 1)
+          poly(pt(c, r), pt(c + 1, r), pt(c + 1, r + 1), pt(c, r + 1))
+      }
+      Zone(fid.toLong, s"g${fid % 3}", geom)
+    }
+  }
+
+  private def checkTies(grid: RasterGrid, seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val zones = tieZones(rnd, grid, 10)
+    val tiles = Synth.tiles(spark, grid)
+    val res = ZonalEngine.run(spark, tiles, zones, grid, Some(-9999.0),
+      Nil, simplify = false)
+    val got = res.collect().map { r =>
+      (Option(r.getAs[String]("group")), r.getAs[Long]("count"),
+        r.getAs[Long]("nodata_count"), r.getAs[Double]("sum"),
+        Option(r.getAs[Any]("min")), Option(r.getAs[Any]("max")))
+    }.toSet
+    val exp = RefOracle.zonalStats(grid, Synth.value, zones,
+      Some(-9999.0), Nil, simplify = false).map { case (g, s) =>
+      (g, s.count, s.nodataCount, s.sum,
+        s.min.map(_.asInstanceOf[Any]), s.max.map(_.asInstanceOf[Any]))
+    }.toSet
+    assert(got === exp, s"tie seed=$seed grid=$grid")
+  }
+
+  test("tie-saturated zones match oracle on the north-up grid") {
+    for (seed <- 21L to 28L) checkTies(northUp, seed)
+  }
+
+  test("tie-saturated zones match oracle on the south-up grid") {
+    for (seed <- 31L to 36L) checkTies(southUp, seed)
+  }
 }
