@@ -141,22 +141,31 @@ object Checkpoints {
     *
     * @param filesOverride restrict the run to these manifest files
     *   (e.g. [[graft.sources.TileTable.prunedFiles]] of the zones'
-    *   envelope) instead of the full table. */
+    *   envelope) instead of the full table.
+    * @param band for multi-band tables: the single band this run
+    *   addresses (reference rasters are `(path, band)`,
+    *   runner.py:264-265) — the chunk scan filters it and the band's
+    *   own nodata applies; REQUIRED when the table is multi-band, or
+    *   the scan would mix every band's rows. */
   def chunkedFidStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
       collectValues: Boolean = false,
       maxChunks: Int = DefaultMaxChunks,
       lastWins: Boolean = false,
-      filesOverride: Option[Seq[TileFileStat]] = None)
+      filesOverride: Option[Seq[TileFileStat]] = None,
+      band: Option[Int] = None)
       : (DataFrame, Option[DataFrame], Int) = {
+    require(table.manifest.bands.isEmpty || band.isDefined,
+      s"${table.root} is multi-band: pass the band to address")
     val idx = new ZoneIndex(zones.toArray)
     val bc = spark.sparkContext.broadcast(idx)
     val grid = table.grid
-    val nodata = table.nodata
+    val nodata = band.map(table.nodataFor).getOrElse(table.nodata)
     val chunks = chunkFiles(filesOverride.getOrElse(table.manifest.files),
       maxChunks)
     val ctx = contextDigest(zones, table.manifest, collectValues) +
-      (if (lastWins) "|lastWins" else "")
+      (if (lastWins) "|lastWins" else "") +
+      band.map(b => s"|band=$b").getOrElse("")
     val computed = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // Chunks are independent Spark jobs; submitting them from a
@@ -172,8 +181,10 @@ object Checkpoints {
       if (!isChunkDone(ckptDir, i, fp)) {
         val t0 = System.nanoTime()
         val dir = chunkDir(ckptDir, i)
-        val tiles = spark.read.parquet(
+        val raw = spark.read.parquet(
           files.map(f => s"${table.root}/${f.path}"): _*)
+        val tiles = band.map(b => raw.where(col("band") === b))
+          .getOrElse(raw)
         if (collectValues) {
           // percentile (parity-mode) runs need the raw value chunks:
           // cache the partials, derive metrics + the parquet write
@@ -342,7 +353,8 @@ object Checkpoints {
       lastWins: Boolean = false,
       maxChunks: Int = DefaultMaxChunks,
       keepCheckpoints: Boolean = true,
-      exactPercentiles: Boolean = true): DataFrame = {
+      exactPercentiles: Boolean = true,
+      band: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val percs = ZonalEngine.normalizePercentiles(percentiles)
     val zonesSimpl = zones.map(z =>
@@ -350,15 +362,21 @@ object Checkpoints {
     // prune the chunk list to the zones' envelope — a job over a
     // region touches only that region's files, like the direct path
     val env = Zone.totalEnvelope(zonesSimpl)
+    val nodata = band.map(table.nodataFor).getOrElse(table.nodata)
     val (fidStats, vals, _) = chunkedFidStats(spark, table, zonesSimpl,
       ckptDir, runId, collectValues = percs.nonEmpty,
       maxChunks = maxChunks, lastWins = lastWins,
-      filesOverride = Some(table.prunedFiles(env)))
+      filesOverride = Some(table.prunedFiles(env)), band = band)
     val zonesDf = zonesSimpl.map(z => (z.fid, Option(z.group)))
       .toDF("fid", "group")
+    def fbScan(e: org.locationtech.jts.geom.Envelope): DataFrame =
+      band match {
+        case Some(b) => table.readPrunedBand(spark, e, b)
+        case None => table.readPruned(spark, e)
+      }
     val res = ZonalEngine.finishStats(spark, fidStats, vals, zonesSimpl,
-      zonesDf, table.grid, table.nodata, percs, exactPercentiles,
-      e => table.readPruned(spark, e), histogram = None)
+      zonesDf, table.grid, nodata, percs, exactPercentiles,
+      fbScan, histogram = None)
     if (keepCheckpoints) res
     else {
       // result is dimension-sized: materialize, then GC the scratch

@@ -31,17 +31,26 @@ object ZonalJob {
       percentiles: Seq[Double], ckptDir: Option[String] = None): GroupStats = {
     // The reference job path hardcodes polygons_might_overlap=False
     // (runner.py:960), i.e. a single last-burn-wins rasterize pass:
-    // overlap pixels belong only to the zone burned last.
+    // overlap pixels belong only to the zone burned last — and
+    // addresses every raster as (path, band 1) (runner.py:954), so a
+    // multi-band table contributes exactly its first band with that
+    // band's nodata.
+    val band = if (table.manifest.bands.nonEmpty) Some(1) else None
     val df = ckptDir match {
       case Some(dir) =>
         Checkpoints.resumableZonalStats(spark, table, zones, dir,
           runId = s"job-${System.nanoTime()}", percentiles = percentiles,
-          lastWins = true)
+          lastWins = true, band = band)
       case None =>
-        ZonalEngine.run(spark,
-          table.readPruned(spark, Zone.totalEnvelope(zones)),
-          zones, table.grid, table.nodata, percentiles, lastWins = true,
-          fallbackTiles = Some(env => table.readPruned(spark, env)))
+        def scan(env: org.locationtech.jts.geom.Envelope) = band match {
+          case Some(b) => table.readPrunedBand(spark, env, b)
+          case None => table.readPruned(spark, env)
+        }
+        ZonalEngine.run(spark, scan(Zone.totalEnvelope(zones)),
+          zones, table.grid,
+          band.map(table.nodataFor).getOrElse(table.nodata),
+          percentiles, lastWins = true,
+          fallbackTiles = Some(scan))
     }
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
@@ -155,11 +164,61 @@ object ZonalJob {
     }
   }
 
+  /** Job-level memoization fingerprint — the TaskGraph "skip when
+    * targets exist and inputs hash-match" analogue
+    * (`runner.py:1093-1098`): raster manifests (content), the zone
+    * store's file names+sizes, and the job parameters that shape the
+    * CSV. */
+  def jobFingerprint(job: Config.JobSpec): String = {
+    val sb = new StringBuilder
+    sb.append(job.aggField).append('|').append(job.rowColOrder)
+      .append('|').append(job.operations.mkString(",")).append('\n')
+    job.rasterPaths.foreach { p =>
+      sb.append(p).append('|')
+      val man = Paths.get(p, "manifest.json")
+      sb.append(if (Files.exists(man)) Files.readString(man) else "?")
+        .append('\n')
+    }
+    val vec = Paths.get(job.aggVector)
+    val walk = Files.walk(vec, 2)
+    try {
+      walk.sorted().forEach { f =>
+        if (Files.isRegularFile(f))
+          sb.append(f.toString).append('|')
+            .append(Files.size(f)).append('\n')
+      }
+    } finally walk.close()
+    f"${graft.functions.XXHash64.hashString(sb.toString, 11L)}%016x"
+  }
+
   /** Execute a JobSpec end-to-end: per-raster zonal stats → pivot →
     * CSV file (timestamped by the caller-provided stamp for
-    * deterministic tests; runner.py:1079-1091). */
+    * deterministic tests; runner.py:1079-1091).
+    *
+    * Memoized like the reference's TaskGraph (`runner.py:1093-1098`):
+    * when the target CSV already exists AND the sidecar fingerprint
+    * matches the current inputs, the job is skipped entirely. (With a
+    * timestamp each run has a fresh target name, so — exactly like
+    * the reference — timestamped runs always recompute.) */
   def run(spark: SparkSession, job: Config.JobSpec,
       timestamp: Option[String] = None): String = {
+    val out = timestamp match {
+      case Some(ts) =>
+        val p = Paths.get(job.outputCsv)
+        val name = p.getFileName.toString
+        val dot = name.lastIndexOf('.')
+        val stamped =
+          if (dot > 0) s"${name.substring(0, dot)}_$ts${name.substring(dot)}"
+          else s"${name}_$ts"
+        p.getParent.resolve(stamped).toString
+      case None => job.outputCsv
+    }
+    val fp = jobFingerprint(job)
+    val meta = Paths.get(out + ".meta.json")
+    if (Files.exists(Paths.get(out)) && Files.exists(meta) &&
+        Files.readString(meta).contains(s""""fingerprint":"$fp"""")) {
+      return out // target exists, inputs unchanged → skip (TaskGraph)
+    }
     val percentiles = job.percentiles
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
@@ -194,19 +253,10 @@ object ZonalJob {
         futs.map(_.get()).toMap
       } finally pool.shutdownNow()
     val lines = renderCsv(job.aggField, job.rowColOrder, stems, stats, pKeys)
-    val out = timestamp match {
-      case Some(ts) =>
-        val p = Paths.get(job.outputCsv)
-        val name = p.getFileName.toString
-        val dot = name.lastIndexOf('.')
-        val stamped =
-          if (dot > 0) s"${name.substring(0, dot)}_$ts${name.substring(dot)}"
-          else s"${name}_$ts"
-        p.getParent.resolve(stamped).toString
-      case None => job.outputCsv
-    }
     Files.createDirectories(Paths.get(out).getParent)
     Files.writeString(Paths.get(out), lines.mkString("", "\r\n", "\r\n"))
+    // memoization sidecar LAST: its presence certifies the CSV above
+    Files.writeString(meta, s"""{"fingerprint":"$fp","tag":"${job.tag}"}""")
     out
   }
 }

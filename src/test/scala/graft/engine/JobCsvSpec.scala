@@ -103,6 +103,63 @@ class JobCsvSpec extends SparkSpec {
       run1Ids(nChunks - 1))
   }
 
+  test("job-level memoization: unchanged inputs skip, changed inputs rerun") {
+    val work = Files.createTempDirectory("graft-job-memo")
+    TileTable.write(spark, Synth.tiles(spark, grid, "raw", 0), grid,
+      Some(-9999.0), s"$work/rasterA", cellLevel = 8, numFiles = 2)
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+    val job = Config.JobSpec(
+      tag = "t1", aggVector = s"$vecDir/zones.parquet",
+      aggLayer = "zones", aggField = "grp_field",
+      rasterPaths = Seq(s"$work/rasterA"),
+      operations = Seq("avg"),
+      rowColOrder = "agg_field,base_raster", workdir = s"$work/wd",
+      outputCsv = s"$work/out.csv")
+
+    val out = ZonalJob.run(spark, job, None)
+    // plant a sentinel: a MEMOIZED rerun must not touch the target
+    Files.writeString(Paths.get(out), "SENTINEL")
+    assert(ZonalJob.run(spark, job, None) === out)
+    assert(Files.readString(Paths.get(out)) === "SENTINEL",
+      "memoized job rewrote an up-to-date target")
+    // changed inputs (different operations) must recompute
+    val job2 = job.copy(operations = Seq("avg", "p50"))
+    ZonalJob.run(spark, job2, None)
+    val fresh = Files.readString(Paths.get(out))
+    assert(fresh != "SENTINEL" && fresh.contains("p50"),
+      "changed job was not recomputed")
+  }
+
+  test("job on a multi-band table addresses band 1 only (reference " +
+      "(path, 1) semantics)") {
+    val work = Files.createTempDirectory("graft-job-mb")
+    // band 1 = the standard field, band 2 = a different field: the job
+    // must consume exactly band 1, not a mix of both
+    TileTable.write(spark,
+      Synth.tilesMultiBand(spark, grid, Seq(1 -> 0, 2 -> 2)), grid,
+      nodata = Some(-9999.0), s"$work/rasterMb", cellLevel = 8,
+      numFiles = 2,
+      bands = Seq(graft.sources.BandInfo(1, Some(-9999.0)),
+        graft.sources.BandInfo(2, Some(-7777.0))))
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+    val job = Config.JobSpec(
+      tag = "t1", aggVector = s"$vecDir/zones.parquet",
+      aggLayer = "zones", aggField = "grp_field",
+      rasterPaths = Seq(s"$work/rasterMb"),
+      operations = Seq("avg", "p5", "p95"),
+      rowColOrder = "agg_field,base_raster", workdir = s"$work/wd",
+      outputCsv = s"$work/out.csv")
+    val got = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    // oracle = band 1's pixel field (variant 0), reference lastWins
+    val exp = oracleCsv("agg_field,base_raster", Seq("rasterMb"),
+      Seq(0), job.percentiles).mkString("", "\r\n", "\r\n")
+    assert(got === exp)
+  }
+
   test("config → job roundtrip via INI file") {
     val work = Files.createTempDirectory("graft-ini")
     TileTable.write(spark, Synth.tiles(spark, grid), grid, Some(-9999.0),
