@@ -133,11 +133,21 @@ object TileTable {
       (grid.gt.py * grid.tileH)
     val withCell = tiles.withColumn("cell",
       gf.cell_id(cx, cy, lit(cellLevel)))
+    val stats = writeDataFiles(spark, withCell, root, "data", n, bands)
+    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
+    writeManifest(root, man)
+    new TileTable(root, man)
+  }
 
-    val dataDir = s"$root/data"
-    // multi-band: range-partition by cell (file pruning stays band-
-    // agnostic), sort (band, cell) inside files so a band-equality
-    // predicate prunes row groups before the cell range does
+  /** Write cell-sorted data files under `root/<dirName>` and return
+    * their per-file cell stats (paths relative to root). Multi-band:
+    * range-partition by cell (file pruning stays band-agnostic), sort
+    * (band, cell) inside files so a band-equality predicate prunes
+    * row groups before the cell range does. */
+  private def writeDataFiles(spark: SparkSession, withCell: DataFrame,
+      root: String, dirName: String, n: Int,
+      bands: Seq[BandInfo]): Seq[TileFileStat] = {
+    val dataDir = s"$root/$dirName"
     val sorted =
       if (bands.nonEmpty)
         withCell.repartitionByRange(n, col("cell"))
@@ -148,20 +158,52 @@ object TileTable {
     sorted.write.mode("overwrite").parquet(dataDir)
 
     // per-file stats from the written files themselves
-    val stats = spark.read.parquet(dataDir)
+    spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(min("cell").as("cmin"), max("cell").as("cmax"),
         count(lit(1)).as("rows"))
       .collect()
       .map { r =>
         val full = r.getString(0)
-        val rel = "data/" + full.substring(full.lastIndexOf('/') + 1)
+        val rel = s"$dirName/" + full.substring(full.lastIndexOf('/') + 1)
         TileFileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
       }.sortBy(_.cellMin).toSeq
+  }
 
-    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
-    writeManifest(root, man)
-    new TileTable(root, man)
+  /** Compact a table's data layout into `numFiles` cell-sorted files —
+    * the Iceberg-style maintenance pass for the small-files problem
+    * (incremental/streaming ingest fragments the layout; compaction
+    * restores the manifest's pruning ratio and per-task scan size).
+    * The rewrite lands in a NEW generation directory and the manifest
+    * swap is atomic, so concurrent readers see either the old or the
+    * new layout in full; old data dirs are deleted afterwards unless
+    * `keepOld`. Row content is preserved exactly (same rows, new
+    * physical order/grouping). */
+  def compact(spark: SparkSession, root: String, numFiles: Int,
+      keepOld: Boolean = false): TileTable = {
+    require(numFiles > 0, "numFiles must be positive")
+    val t = open(root)
+    val oldDirs = t.manifest.files
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+    // next generation dir: data -> data-1 -> data-2 ...
+    val genNums = oldDirs.map {
+      case "data" => 0
+      case d => d.stripPrefix("data-").toIntOption.getOrElse(0)
+    }
+    val newDir = s"data-${genNums.max + 1}"
+    val stats = writeDataFiles(spark, t.read(spark), root, newDir,
+      numFiles, t.manifest.bands)
+    writeManifest(root, t.manifest.copy(files = stats))
+    if (!keepOld) oldDirs.foreach(d => deleteRecursively(Paths.get(root, d)))
+    open(root)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   def writeManifest(root: String, m: TileManifest): Unit = {

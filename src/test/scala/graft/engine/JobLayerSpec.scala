@@ -55,6 +55,38 @@ class TileTableSpec extends SparkSpec {
       Fixtures.zonesBasic(grid).size)
   }
 
+  test("compaction preserves rows, updates the manifest, prunes same") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val t0 = TileTable.write(spark, Synth.tiles(spark, grid), grid,
+      Some(-9999.0), dir, cellLevel = 8, numFiles = 16)
+    assert(t0.manifest.files.size === 16)
+    val before = t0.read(spark).select("image_id", "phash")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val t1 = TileTable.compact(spark, dir, numFiles = 4)
+    assert(t1.manifest.files.size <= 4)
+    assert(t1.manifest.files.forall(_.path.startsWith("data-1/")))
+    // old generation GC'd
+    assert(!Files.exists(Paths.get(dir, "data")))
+    // exact row preservation
+    val after = t1.read(spark).select("image_id", "phash")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === before)
+    // pruning still correct over the new layout
+    val env = new org.locationtech.jts.geom.Envelope(
+      grid.gt.cornerX(2), grid.gt.cornerX(20),
+      grid.gt.cornerY(12), grid.gt.cornerY(2))
+    val ids = t1.readPruned(spark, env).select("image_id")
+      .collect().map(_.getString(0)).toSet
+    for (tr <- 0 until grid.tilesY; tc <- 0 until grid.tilesX)
+      if (grid.tileEnvelope(tr, tc).intersects(env))
+        assert(ids.contains(graft.operators.ZonalStats.tileId(tr, tc)))
+    // a second compaction generation chains (data-1 -> data-2)
+    val t2 = TileTable.compact(spark, dir, numFiles = 2)
+    assert(t2.manifest.files.forall(_.path.startsWith("data-2/")))
+    assert(t2.read(spark).count() === grid.numTiles)
+  }
+
   test("pruned read returns exactly the overlapping tiles") {
     val t = TileTable.open(root)
     // envelope of zone fid1: pixel cols [2,20), rows [2,12) → tiles
