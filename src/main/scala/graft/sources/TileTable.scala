@@ -170,6 +170,41 @@ object TileTable {
       }.sortBy(_.cellMin).toSeq
   }
 
+  /** Append a micro-batch of tiles to an existing table — the
+    * `foreachBatch` sink for streaming ingest: the batch lands as a
+    * new generation-tagged file set and its stats APPEND to the
+    * manifest atomically, so concurrent readers always see a complete
+    * table and a crash between the data write and the manifest swap
+    * leaves only unreferenced files (re-append is safe; nothing
+    * partial is ever visible). Streaming ingest fragments the layout
+    * by design — run [[compact]] periodically to restore it. */
+  def appendBatch(spark: SparkSession, root: String,
+      tiles: DataFrame): TileTable = {
+    val t = open(root)
+    val g = t.grid
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val tc = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 2)
+      .cast("int")
+    val cx = lit(g.gt.x0) + (tc.cast("double") + 0.5) * (g.gt.px * g.tileW)
+    val cy = lit(g.gt.y0) + (tr.cast("double") + 0.5) * (g.gt.py * g.tileH)
+    val withCell = tiles.withColumn("cell",
+      gf.cell_id(cx, cy, lit(t.manifest.cellLevel)))
+    // batch dir named uniquely from existing append generations
+    val existing = t.manifest.files.map(f =>
+      f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+    val appendNums = existing.collect {
+      case d if d.startsWith("append-") =>
+        d.stripPrefix("append-").toIntOption.getOrElse(0)
+    }
+    val dir = s"append-${(0 +: appendNums).max + 1}"
+    val stats = writeDataFiles(spark, withCell, root, dir, 1,
+      t.manifest.bands)
+    writeManifest(root,
+      t.manifest.copy(files = (t.manifest.files ++ stats).sortBy(_.cellMin)))
+    open(root)
+  }
+
   /** Compact a table's data layout into `numFiles` cell-sorted files —
     * the Iceberg-style maintenance pass for the small-files problem
     * (incremental/streaming ingest fragments the layout; compaction

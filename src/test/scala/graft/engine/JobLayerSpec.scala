@@ -55,6 +55,55 @@ class TileTableSpec extends SparkSpec {
       Fixtures.zonesBasic(grid).size)
   }
 
+  test("streaming ingest: appendBatch grows the manifest atomically, " +
+      "compaction defragments") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val all = Synth.tiles(spark, grid)
+    import org.apache.spark.sql.functions.col
+    // bootstrap with the first half of the tile rows
+    TileTable.write(spark, all.where(col("image_id") < "tile_0004"), grid,
+      Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+    assert(TileTable.open(dir).read(spark).count() === grid.numTiles / 2)
+
+    // drive the remaining rows through a streaming foreachBatch sink
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int]
+    val query = ms.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getInt(0)).toSet
+        if (rows.contains(1))
+          TileTable.appendBatch(spark, dir, all.where(
+            col("image_id") >= "tile_0004" && col("image_id") < "tile_0006"))
+        if (rows.contains(2))
+          TileTable.appendBatch(spark, dir,
+            all.where(col("image_id") >= "tile_0006"))
+        ()
+    }.start()
+    try {
+      ms.addData(1); query.processAllAvailable()
+      assert(TileTable.open(dir).read(spark).count() === grid.numTiles * 3 / 4)
+      ms.addData(2); query.processAllAvailable()
+    } finally query.stop()
+
+    val t = TileTable.open(dir)
+    assert(t.read(spark).count() === grid.numTiles)
+    assert(t.manifest.files.map(_.rows).sum === grid.numTiles)
+    // fragmented layout (append dirs present) → compaction restores it
+    assert(t.manifest.files.exists(_.path.startsWith("append-")))
+    val c = TileTable.compact(spark, dir, numFiles = 2)
+    assert(c.read(spark).count() === grid.numTiles)
+    assert(c.manifest.files.forall(!_.path.startsWith("append-")))
+    // zonal over the ingested+compacted table still matches the oracle
+    val zones = Fixtures.zonesBasic(grid)
+    val res = graft.operators.ZonalEngine.runTable(spark, c, zones)
+    val exp = RefOracle.zonalStats(grid, Synth.value, zones, Some(-9999.0))
+    val got = res.collect().map(r =>
+      Option(r.getAs[String]("group")) -> r.getAs[Double]("sum")).toMap
+    exp.foreach { case (g, s) => assert(got(g) === s.sum, s"group $g") }
+  }
+
   test("compaction preserves rows, updates the manifest, prunes same") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val t0 = TileTable.write(spark, Synth.tiles(spark, grid), grid,
