@@ -160,7 +160,7 @@ object Checkpoints {
     val idx = new ZoneIndex(zones.toArray)
     val bc = spark.sparkContext.broadcast(idx)
     val grid = table.grid
-    val nodata = band.map(table.nodataFor).getOrElse(table.nodata)
+    val nodata = table.nodataFor(band)
     val chunks = chunkFiles(filesOverride.getOrElse(table.manifest.files),
       maxChunks)
     val ctx = contextDigest(zones, table.manifest, collectValues) +
@@ -362,21 +362,15 @@ object Checkpoints {
     // prune the chunk list to the zones' envelope — a job over a
     // region touches only that region's files, like the direct path
     val env = Zone.totalEnvelope(zonesSimpl)
-    val nodata = band.map(table.nodataFor).getOrElse(table.nodata)
     val (fidStats, vals, _) = chunkedFidStats(spark, table, zonesSimpl,
       ckptDir, runId, collectValues = percs.nonEmpty,
       maxChunks = maxChunks, lastWins = lastWins,
       filesOverride = Some(table.prunedFiles(env)), band = band)
     val zonesDf = zonesSimpl.map(z => (z.fid, Option(z.group)))
       .toDF("fid", "group")
-    def fbScan(e: org.locationtech.jts.geom.Envelope): DataFrame =
-      band match {
-        case Some(b) => table.readPrunedBand(spark, e, b)
-        case None => table.readPruned(spark, e)
-      }
     val res = ZonalEngine.finishStats(spark, fidStats, vals, zonesSimpl,
-      zonesDf, table.grid, nodata, percs, exactPercentiles,
-      fbScan, histogram = None)
+      zonesDf, table.grid, table.nodataFor(band), percs, exactPercentiles,
+      e => table.readPruned(spark, e, band), histogram = None)
     if (keepCheckpoints) res
     else {
       // result is dimension-sized: materialize, then GC the scratch

@@ -32,25 +32,22 @@ object ZonalJob {
     // The reference job path hardcodes polygons_might_overlap=False
     // (runner.py:960), i.e. a single last-burn-wins rasterize pass:
     // overlap pixels belong only to the zone burned last — and
-    // addresses every raster as (path, band 1) (runner.py:954), so a
-    // multi-band table contributes exactly its first band with that
-    // band's nodata.
-    val band = if (table.manifest.bands.nonEmpty) Some(1) else None
+    // addresses every raster as (path, band 1), meaning the FIRST
+    // band (runner.py:954): satellite-style band labels need not
+    // include a literal 1, so the manifest's first declared band is
+    // the one consumed, with that band's nodata.
+    val band = table.manifest.bands.headOption.map(_.band)
     val df = ckptDir match {
       case Some(dir) =>
         Checkpoints.resumableZonalStats(spark, table, zones, dir,
           runId = s"job-${System.nanoTime()}", percentiles = percentiles,
           lastWins = true, band = band)
       case None =>
-        def scan(env: org.locationtech.jts.geom.Envelope) = band match {
-          case Some(b) => table.readPrunedBand(spark, env, b)
-          case None => table.readPruned(spark, env)
-        }
-        ZonalEngine.run(spark, scan(Zone.totalEnvelope(zones)),
-          zones, table.grid,
-          band.map(table.nodataFor).getOrElse(table.nodata),
+        ZonalEngine.run(spark,
+          table.readPruned(spark, Zone.totalEnvelope(zones), band),
+          zones, table.grid, table.nodataFor(band),
           percentiles, lastWins = true,
-          fallbackTiles = Some(scan))
+          fallbackTiles = Some(env => table.readPruned(spark, env, band)))
     }
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
@@ -219,6 +216,10 @@ object ZonalJob {
         Files.readString(meta).contains(s""""fingerprint":"$fp"""")) {
       return out // target exists, inputs unchanged → skip (TaskGraph)
     }
+    // recomputing: drop the stale certificate FIRST, so a crash
+    // mid-recompute can never leave an old fingerprint beside a new
+    // or partial CSV
+    Files.deleteIfExists(meta)
     val percentiles = job.percentiles
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
@@ -254,8 +255,14 @@ object ZonalJob {
       } finally pool.shutdownNow()
     val lines = renderCsv(job.aggField, job.rowColOrder, stems, stats, pKeys)
     Files.createDirectories(Paths.get(out).getParent)
-    Files.writeString(Paths.get(out), lines.mkString("", "\r\n", "\r\n"))
-    // memoization sidecar LAST: its presence certifies the CSV above
+    // atomic CSV publish (temp + move), then the certificate — a
+    // reader/memo check can only ever observe (complete CSV, no meta)
+    // or (complete CSV, matching meta)
+    val tmp = Paths.get(out + ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\r\n", "\r\n"))
+    Files.move(tmp, Paths.get(out),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(meta, s"""{"fingerprint":"$fp","tag":"${job.tag}"}""")
     out
   }

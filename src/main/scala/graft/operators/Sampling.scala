@@ -16,10 +16,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Sampling {
 
   /** First 15 hex digits of md5(key) as a non-negative long —
-    * uniform, content-stable. */
-  def hashBucket(key: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(buckets))
+    * uniform, content-stable. A NULL key fails LOUDLY: a split/sample
+    * operator silently dropping or mis-routing null-key rows would
+    * skew the carve and leak rows across splits once the keys are
+    * backfilled. */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    val k = coalesce(key.cast("string"),
+      raise_error(lit("Sampling: NULL key — hash split/sample requires " +
+        "a non-null key column")))
+    pmod(conv(substring(md5(k), 1, 15), 16, 10).cast("long"), lit(buckets))
+  }
 
   /** Assign each row a named split by integer weights, e.g.
     * `Seq("train" -> 8, "val" -> 1, "test" -> 1)` → 80/10/10.

@@ -92,6 +92,18 @@ class TileTable(val root: String, val manifest: TileManifest) {
     manifest.bands.find(_.band == band).map(_.nodata)
       .getOrElse(manifest.nodata)
 
+  /** Optional-band variants — the one place "scan this table,
+    * optionally one band of it" is spelled out (job path, resumable
+    * path and fallback scans all dispatch through these). */
+  def nodataFor(band: Option[Int]): Option[Double] =
+    band.map(nodataFor).getOrElse(nodata)
+
+  def readPruned(spark: SparkSession, env: Envelope,
+      band: Option[Int]): DataFrame = band match {
+    case Some(b) => readPrunedBand(spark, env, b)
+    case None => readPruned(spark, env)
+  }
+
   /** Manifest-pruned scan of ONE band of a multi-band table. The
     * band-equality predicate lands in the parquet scan; rows are
     * sorted (band, cell) inside each file so both predicates prune
@@ -122,7 +134,18 @@ object TileTable {
       bands: Seq[BandInfo] = Nil): TileTable = {
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
-    // tile-center lon/lat from image_id; exact arithmetic
+    val stats = writeDataFiles(spark,
+      withCellColumn(tiles, grid, cellLevel), root, "data", n, bands)
+    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
+    writeManifest(root, man)
+    new TileTable(root, man)
+  }
+
+  /** Tile-center Morton cell from image_id — the ONE definition of
+    * the table's cell derivation (initial write and streaming appends
+    * must agree or pruning silently breaks). Exact arithmetic. */
+  private def withCellColumn(tiles: DataFrame, grid: RasterGrid,
+      cellLevel: Int): DataFrame = {
     val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
       .cast("int")
     val tc = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 2)
@@ -131,12 +154,7 @@ object TileTable {
       (grid.gt.px * grid.tileW)
     val cy = lit(grid.gt.y0) + (tr.cast("double") + 0.5) *
       (grid.gt.py * grid.tileH)
-    val withCell = tiles.withColumn("cell",
-      gf.cell_id(cx, cy, lit(cellLevel)))
-    val stats = writeDataFiles(spark, withCell, root, "data", n, bands)
-    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
-    writeManifest(root, man)
-    new TileTable(root, man)
+    tiles.withColumn("cell", gf.cell_id(cx, cy, lit(cellLevel)))
   }
 
   /** Write cell-sorted data files under `root/<dirName>` and return
@@ -170,39 +188,59 @@ object TileTable {
       }.sortBy(_.cellMin).toSeq
   }
 
-  /** Append a micro-batch of tiles to an existing table — the
-    * `foreachBatch` sink for streaming ingest: the batch lands as a
-    * new generation-tagged file set and its stats APPEND to the
-    * manifest atomically, so concurrent readers always see a complete
-    * table and a crash between the data write and the manifest swap
-    * leaves only unreferenced files (re-append is safe; nothing
-    * partial is ever visible). Streaming ingest fragments the layout
-    * by design — run [[compact]] periodically to restore it. */
-  def appendBatch(spark: SparkSession, root: String,
-      tiles: DataFrame): TileTable = {
-    val t = open(root)
-    val g = t.grid
-    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
-      .cast("int")
-    val tc = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 2)
-      .cast("int")
-    val cx = lit(g.gt.x0) + (tc.cast("double") + 0.5) * (g.gt.px * g.tileW)
-    val cy = lit(g.gt.y0) + (tr.cast("double") + 0.5) * (g.gt.py * g.tileH)
-    val withCell = tiles.withColumn("cell",
-      gf.cell_id(cx, cy, lit(t.manifest.cellLevel)))
-    // batch dir named uniquely from existing append generations
-    val existing = t.manifest.files.map(f =>
-      f.path.substring(0, f.path.lastIndexOf('/'))).distinct
-    val appendNums = existing.collect {
-      case d if d.startsWith("append-") =>
-        d.stripPrefix("append-").toIntOption.getOrElse(0)
+  /** Coarse per-table mutation lock (atomic O_EXCL file create, stale
+    * locks stolen after `staleMs`): [[appendBatch]] and [[compact]]
+    * both mutate the manifest read-modify-write style, so without
+    * mutual exclusion a concurrent pair could lose an update or leave
+    * the manifest referencing deleted files. Works on POSIX/HDFS
+    * semantics; object stores without atomic create need an external
+    * coordinator (the same caveat as any file-based table format
+    * without a catalog). */
+  private def withTableLock[A](root: String,
+      staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    val lock = Paths.get(root, "_lock")
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: Exception => 0L }
+          if (age > staleMs) Files.deleteIfExists(lock) // crashed holder
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(s"timed out on $lock")
+          else Thread.sleep(50)
+      }
     }
-    val dir = s"append-${(0 +: appendNums).max + 1}"
-    val stats = writeDataFiles(spark, withCell, root, dir, 1,
-      t.manifest.bands)
-    writeManifest(root,
-      t.manifest.copy(files = (t.manifest.files ++ stats).sortBy(_.cellMin)))
-    open(root)
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Append a micro-batch of tiles to an existing table — the
+    * `foreachBatch` sink for streaming ingest. The batch lands as a
+    * file set under `append-<batchId>` and its stats APPEND to the
+    * manifest atomically under the table lock, so concurrent readers
+    * always see a complete table and a crash between the data write
+    * and the manifest swap leaves only unreferenced files.
+    * IDEMPOTENT in `batchId`: foreachBatch redelivers a batch after a
+    * crash (at-least-once), and a replayed id whose files are already
+    * referenced is a no-op — exactly-once table contents. Streaming
+    * ingest fragments the layout by design — run [[compact]]
+    * periodically to restore it. */
+  def appendBatch(spark: SparkSession, root: String, tiles: DataFrame,
+      batchId: Long): TileTable = withTableLock(root) {
+    val t = open(root)
+    val dir = s"append-$batchId"
+    if (t.manifest.files.exists(_.path.startsWith(s"$dir/"))) t // replay
+    else {
+      val withCell = withCellColumn(tiles, t.grid, t.manifest.cellLevel)
+      val stats = writeDataFiles(spark, withCell, root, dir, 1,
+        t.manifest.bands)
+      writeManifest(root, t.manifest.copy(
+        files = (t.manifest.files ++ stats).sortBy(_.cellMin)))
+      open(root)
+    }
   }
 
   /** Compact a table's data layout into `numFiles` cell-sorted files —
@@ -210,35 +248,35 @@ object TileTable {
     * (incremental/streaming ingest fragments the layout; compaction
     * restores the manifest's pruning ratio and per-task scan size).
     * The rewrite lands in a NEW generation directory and the manifest
-    * swap is atomic, so concurrent readers see either the old or the
-    * new layout in full; old data dirs are deleted afterwards unless
-    * `keepOld`. Row content is preserved exactly (same rows, new
-    * physical order/grouping). */
+    * swap is atomic under the table lock (mutually exclusive with
+    * [[appendBatch]], so no append is ever lost). Row content is
+    * preserved exactly (same rows, new physical order/grouping).
+    *
+    * @param keepOld true leaves the previous generation's files on
+    *   disk — use it (plus a later cleanup) when long-running readers
+    *   may still hold file paths resolved from the pre-compact
+    *   manifest; the default deletes them immediately. */
   def compact(spark: SparkSession, root: String, numFiles: Int,
-      keepOld: Boolean = false): TileTable = {
+      keepOld: Boolean = false): TileTable = withTableLock(root) {
     require(numFiles > 0, "numFiles must be positive")
     val t = open(root)
-    val oldDirs = t.manifest.files
-      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
-    // next generation dir: data -> data-1 -> data-2 ...
-    val genNums = oldDirs.map {
-      case "data" => 0
-      case d => d.stripPrefix("data-").toIntOption.getOrElse(0)
+    if (t.manifest.files.isEmpty) t // nothing to compact
+    else {
+      val oldDirs = t.manifest.files
+        .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+      // next generation dir: data -> data-1 -> data-2 ...
+      val genNums = oldDirs.map {
+        case "data" => 0
+        case d => d.stripPrefix("data-").toIntOption.getOrElse(0)
+      }
+      val newDir = s"data-${(0 +: genNums).max + 1}"
+      val stats = writeDataFiles(spark, t.read(spark), root, newDir,
+        numFiles, t.manifest.bands)
+      writeManifest(root, t.manifest.copy(files = stats))
+      if (!keepOld) oldDirs.foreach(d =>
+        graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+      open(root)
     }
-    val newDir = s"data-${genNums.max + 1}"
-    val stats = writeDataFiles(spark, t.read(spark), root, newDir,
-      numFiles, t.manifest.bands)
-    writeManifest(root, t.manifest.copy(files = stats))
-    if (!keepOld) oldDirs.foreach(d => deleteRecursively(Paths.get(root, d)))
-    open(root)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively(_)) finally s.close()
-    }
-    Files.deleteIfExists(p)
   }
 
   def writeManifest(root: String, m: TileManifest): Unit = {

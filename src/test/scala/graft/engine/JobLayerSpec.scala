@@ -71,14 +71,15 @@ class TileTableSpec extends SparkSpec {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Int]
     val query = ms.toDF().writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val rows = batch.collect().map(_.getInt(0)).toSet
         if (rows.contains(1))
           TileTable.appendBatch(spark, dir, all.where(
-            col("image_id") >= "tile_0004" && col("image_id") < "tile_0006"))
+            col("image_id") >= "tile_0004" && col("image_id") < "tile_0006"),
+            batchId)
         if (rows.contains(2))
           TileTable.appendBatch(spark, dir,
-            all.where(col("image_id") >= "tile_0006"))
+            all.where(col("image_id") >= "tile_0006"), batchId)
         ()
     }.start()
     try {
@@ -90,6 +91,13 @@ class TileTableSpec extends SparkSpec {
     val t = TileTable.open(dir)
     assert(t.read(spark).count() === grid.numTiles)
     assert(t.manifest.files.map(_.rows).sum === grid.numTiles)
+    // at-least-once replay of an already-committed batch is a no-op
+    // (foreachBatch redelivers after crashes; the table must not
+    // double-count)
+    TileTable.appendBatch(spark, dir,
+      all.where(col("image_id") >= "tile_0006"), batchId = 1L)
+    assert(TileTable.open(dir).read(spark).count() === grid.numTiles,
+      "replayed batch duplicated rows")
     // fragmented layout (append dirs present) → compaction restores it
     assert(t.manifest.files.exists(_.path.startsWith("append-")))
     val c = TileTable.compact(spark, dir, numFiles = 2)

@@ -163,6 +163,22 @@ class SamplingSpec extends SparkSpec {
     assert(byId === byId2)
   }
 
+  test("null keys fail loudly in both split and sample") {
+    import spark.implicits._
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val ex1 = intercept[Exception] {
+      Sampling.hashSplit(withNull, "doc_id", Seq("a" -> 1, "b" -> 1))
+        .collect()
+    }
+    assert(ex1.getMessage.contains("NULL key") ||
+      Option(ex1.getCause).exists(_.getMessage.contains("NULL key")))
+    val ex2 = intercept[Exception] {
+      Sampling.sampleByHash(withNull, "doc_id", 1, 2).collect()
+    }
+    assert(ex2.getMessage.contains("NULL key") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("NULL key")))
+  }
+
   test("sampleByHash: exact subset semantics and degenerate fractions") {
     val all = docs
     val kept = Sampling.sampleByHash(all, "doc_id", 1, 4)
