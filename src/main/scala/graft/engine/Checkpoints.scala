@@ -35,6 +35,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object Checkpoints {
   private val mapper = new ObjectMapper()
+  // one Configuration for all fingerprint stats: constructing one per
+  // chunk re-parses the Hadoop default XMLs (tens of ms each)
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   /** Default chunk-count cap — shared with verification code that
     * re-derives chunk indices (keep in sync by REFERENCE, not copy). */
@@ -93,13 +96,12 @@ object Checkpoints {
     // Hadoop FileSystem stat, so the byte-size guard works for any
     // root the table can live on (local, hdfs://, s3a://), not just
     // java.nio-visible paths
-    val conf = new org.apache.hadoop.conf.Configuration()
     val sb = new StringBuilder(ctx)
     files.foreach { f =>
       val size =
         try {
           val p = new org.apache.hadoop.fs.Path(s"$root/${f.path}")
-          p.getFileSystem(conf).getFileStatus(p).getLen
+          p.getFileSystem(hadoopConf).getFileStatus(p).getLen
         } catch { case _: Exception => -1L }
       sb.append(f.path).append('|').append(f.cellMin).append('|')
         .append(f.cellMax).append('|').append(f.rows).append('|')
