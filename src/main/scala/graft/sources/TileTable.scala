@@ -24,6 +24,15 @@ import scala.jdk.CollectionConverters._
   *   - row-group pruning: rows are range-partitioned AND sorted by
   *     `cell`, so the pushed `cell BETWEEN` predicates prune Parquet
   *     row groups via min/max stats inside each touched file.
+  *
+  * Scale envelope of the single-JSON manifest: 10^12 tiles at ~10^6
+  * rows/file is ~10^6 file entries ≈ 10^2 MB of manifest — loadable
+  * on a driver and prunable in milliseconds (entries are cell-sorted;
+  * the linear intersect could become a binary search). Beyond ~10^7
+  * entries the next step is the Iceberg manifest-tree shape (manifest
+  * lists pointing at range-partitioned manifest shards) behind the
+  * same open/prune API; nothing downstream depends on the flat
+  * layout.
   */
 final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
     rows: Long)
@@ -339,4 +348,30 @@ object TileTable {
 
   def exists(root: String): Boolean =
     Files.exists(Paths.get(root, "manifest.json"))
+
+  /** Delete every data directory the current manifest does NOT
+    * reference — pre-compaction generations kept with
+    * `compact(keepOld = true)` and orphaned `append-*` dirs from
+    * crashes between a batch's data write and its manifest swap.
+    * Returns the deleted directory names. Runs under the table lock
+    * so it cannot race a concurrent append/compact manifest update. */
+  def vacuum(root: String): Seq[String] = withTableLock(root) {
+    val t = open(root)
+    val referenced = t.manifest.files
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+    val dirs = Files.list(Paths.get(root))
+    val removable =
+      try {
+        import scala.jdk.CollectionConverters._
+        dirs.iterator().asScala
+          .filter(Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filter(d => (d == "data" || d.startsWith("data-") ||
+            d.startsWith("append-")) && !referenced.contains(d))
+          .toSeq
+      } finally dirs.close()
+    removable.foreach(d =>
+      graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+    removable.sorted
+  }
 }

@@ -138,10 +138,16 @@ class TileTableSpec extends SparkSpec {
     for (tr <- 0 until grid.tilesY; tc <- 0 until grid.tilesX)
       if (grid.tileEnvelope(tr, tc).intersects(env))
         assert(ids.contains(graft.operators.ZonalStats.tileId(tr, tc)))
-    // a second compaction generation chains (data-1 -> data-2)
-    val t2 = TileTable.compact(spark, dir, numFiles = 2)
+    // a second compaction generation chains (data-1 -> data-2),
+    // kept old generation is then vacuumable
+    val t2 = TileTable.compact(spark, dir, numFiles = 2, keepOld = true)
     assert(t2.manifest.files.forall(_.path.startsWith("data-2/")))
     assert(t2.read(spark).count() === grid.numTiles)
+    assert(Files.exists(Paths.get(dir, "data-1")), "keepOld ignored")
+    val removed = TileTable.vacuum(dir)
+    assert(removed === Seq("data-1"))
+    assert(!Files.exists(Paths.get(dir, "data-1")))
+    assert(TileTable.open(dir).read(spark).count() === grid.numTiles)
   }
 
   test("pruned read returns exactly the overlapping tiles") {
