@@ -35,9 +35,18 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object Checkpoints {
   private val mapper = new ObjectMapper()
-  // one Configuration for all fingerprint stats: constructing one per
-  // chunk re-parses the Hadoop default XMLs (tens of ms each)
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  // Hadoop conf for fingerprint stats: prefer the Spark session's
+  // (it carries spark.hadoop.* — s3a credentials/endpoints, kerberos —
+  // without which remote getFileStatus fails and the size guard would
+  // silently degrade); the bare-Configuration fallback is cached
+  // because constructing one re-parses the default XMLs (tens of ms)
+  private lazy val fallbackHadoopConf =
+    new org.apache.hadoop.conf.Configuration()
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(fallbackHadoopConf)
 
   /** Default chunk-count cap — shared with verification code that
     * re-derives chunk indices (keep in sync by REFERENCE, not copy). */

@@ -271,8 +271,7 @@ object TileTable {
     val t = open(root)
     if (t.manifest.files.isEmpty) t // nothing to compact
     else {
-      val oldDirs = t.manifest.files
-        .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+      val oldDirs = t.manifest.files.map(f => parentDir(f.path)).distinct
       // next generation dir: data -> data-1 -> data-2 ...
       val genNums = oldDirs.map {
         case "data" => 0
@@ -349,22 +348,36 @@ object TileTable {
   def exists(root: String): Boolean =
     Files.exists(Paths.get(root, "manifest.json"))
 
+  /** Parent directory name of a manifest file path (the generation
+    * dir) — the one definition shared by compact and vacuum. */
+  private def parentDir(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) "" else path.substring(0, i)
+  }
+
   /** Delete every data directory the current manifest does NOT
     * reference — pre-compaction generations kept with
     * `compact(keepOld = true)` and orphaned `append-*` dirs from
     * crashes between a batch's data write and its manifest swap.
-    * Returns the deleted directory names. Runs under the table lock
-    * so it cannot race a concurrent append/compact manifest update. */
-  def vacuum(root: String): Seq[String] = withTableLock(root) {
+    * Returns the deleted directory names. Runs under the table lock,
+    * and additionally SKIPS directories modified within `graceMs`
+    * (default = the lock's staleness window): if a wedged
+    * append/compact ever overruns the lock's stale-steal threshold,
+    * its actively-written directory still looks fresh and survives —
+    * a lost-lock race can cost a manifest update, never data. */
+  def vacuum(root: String,
+      graceMs: Long = 10 * 60 * 1000L): Seq[String] = withTableLock(root) {
     val t = open(root)
-    val referenced = t.manifest.files
-      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+    val referenced = t.manifest.files.map(f => parentDir(f.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dirs = Files.list(Paths.get(root))
     val removable =
       try {
-        import scala.jdk.CollectionConverters._
         dirs.iterator().asScala
           .filter(Files.isDirectory(_))
+          .filter(p =>
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: Exception => false })
           .map(_.getFileName.toString)
           .filter(d => (d == "data" || d.startsWith("data-") ||
             d.startsWith("append-")) && !referenced.contains(d))

@@ -144,7 +144,11 @@ class TileTableSpec extends SparkSpec {
     assert(t2.manifest.files.forall(_.path.startsWith("data-2/")))
     assert(t2.read(spark).count() === grid.numTiles)
     assert(Files.exists(Paths.get(dir, "data-1")), "keepOld ignored")
-    val removed = TileTable.vacuum(dir)
+    // default grace window protects freshly-written dirs...
+    assert(TileTable.vacuum(dir) === Seq.empty)
+    assert(Files.exists(Paths.get(dir, "data-1")))
+    // ...an expired one is collected
+    val removed = TileTable.vacuum(dir, graceMs = 0L)
     assert(removed === Seq("data-1"))
     assert(!Files.exists(Paths.get(dir, "data-1")))
     assert(TileTable.open(dir).read(spark).count() === grid.numTiles)
