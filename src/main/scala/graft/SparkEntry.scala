@@ -14,7 +14,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EQ.zonalBasic(spark)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Raw query registry — wrapped by [[queries]] with a cache drain
+    * so a harness looping over queries in one session releases the
+    * previous query's registered caches (graft.engine.Caches) before
+    * the next one runs. */
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame]
+    = Map(
     // zonal-statistics engine (reference core)
     "q_zonal_basic" -> ((s, _) => EQ.zonalBasic(s)),
     "q_zonal_percentile" -> ((s, _) => EQ.zonalPercentile(s)),
@@ -70,6 +75,14 @@ object SparkEntry {
     "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
     "q_video_frames" -> ((s, sf) => DQ.videoFrames(s, sf)),
   )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, sf: String) => {
+        graft.engine.Caches.drain(s) // previous query is materialized
+        fn(s, sf)
+      })
+    }
 
   def oracleSql: Map[String, String] = Map(
     "q_zonal_basic" -> EQ.zonalBasicSql,

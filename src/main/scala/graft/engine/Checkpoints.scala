@@ -269,6 +269,10 @@ object Checkpoints {
     } finally {
       pool.shutdownNow()
       Progress.detach(spark, progress)
+      // chunk outputs live on disk (stats.json / parquet) — nothing
+      // returned below references the zone broadcast, so drop it now
+      // rather than waiting on the ContextCleaner
+      bc.destroy()
     }
 
     import spark.implicits._
@@ -384,12 +388,10 @@ object Checkpoints {
       e => table.readPruned(spark, e, band), histogram = None)
     if (keepCheckpoints) res
     else {
-      // result is dimension-sized: materialize, then GC the scratch
-      val rows = res.collect().toSeq
-      val out = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), res.schema)
+      // finishStats returns a MATERIALIZED local frame, so the scratch
+      // dir is no longer referenced by any pending computation
       deleteRecursively(Paths.get(ckptDir))
-      out
+      res
     }
   }
 

@@ -141,7 +141,12 @@ object TextOps {
     * with exact token-set Jaccard >= minJaccard. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, numBands: Int, minJaccard: Double): DataFrame = {
+    // the token-hash cache feeds four consumers of the RETURNED lazy
+    // plan, so it cannot be unpersisted here; register it so loop
+    // callers can drain between iterations (graft.engine.Caches)
     val hashes = tokenHashes(df, idCol, textCol).persist()
+    graft.engine.Caches.register(df.sparkSession,
+      () => { hashes.unpersist(false); () })
     val sig = minhashSignature(hashes, numHashes)
     val cand = lshCandidatePairs(sig, numBands, numHashes / numBands)
     val sizes = hashes.groupBy("id")

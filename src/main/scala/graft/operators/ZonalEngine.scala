@@ -62,14 +62,20 @@ object ZonalEngine {
   def runTable(spark: SparkSession, table: graft.sources.TileTable,
       zonesRaw: Seq[Zone], percentilesRaw: Seq[Double] = Nil,
       lastWins: Boolean = false,
-      exactPercentilesOverride: Option[Boolean] = None): DataFrame = {
+      exactPercentilesOverride: Option[Boolean] = None,
+      band: Option[Int] = None): DataFrame = {
+    // reference rasters are addressed as (path, band) (runner.py:264-265):
+    // a multi-band table scanned without a band filter would mix every
+    // band's rows into the same stats — fail loudly instead
+    require(table.manifest.bands.isEmpty || band.isDefined,
+      s"${table.root} is multi-band: pass the band to address")
     val env = Zone.totalEnvelope(zonesRaw)
     val exact = choosePercentileMode(
       table.manifest.files.map(_.rows).sum, exactPercentilesOverride)
-    run(spark, table.readPruned(spark, env), zonesRaw, table.grid,
-      table.nodata, percentilesRaw, exactPercentiles = exact,
+    run(spark, table.readPruned(spark, env, band), zonesRaw, table.grid,
+      table.nodataFor(band), percentilesRaw, exactPercentiles = exact,
       lastWins = lastWins,
-      fallbackTiles = Some(e => table.readPruned(spark, e)))
+      fallbackTiles = Some(e => table.readPruned(spark, e, band)))
   }
 
   /** @param exactPercentiles true (default) = exact numpy-parity
@@ -128,13 +134,22 @@ object ZonalEngine {
     // let every downstream consumer (fallback detection, rollup) read
     // the small cache. The raw partials are only cached when the
     // exact-percentile path needs their value chunks a second time.
+    // Every persist/broadcast is registered for release once the
+    // (dimension-sized) result has materialized — a long-lived session
+    // must not depend on the ContextCleaner for block-manager hygiene.
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    releases += (() => bc.destroy())
     val partials0 = ZonalStats.tilePartials(tiles, bc, grid, nodata,
       collectVals, lastWins)
     val partials =
-      if (collectVals) partials0.persist(StorageLevel.MEMORY_AND_DISK)
-      else partials0
+      if (collectVals) {
+        val p = partials0.persist(StorageLevel.MEMORY_AND_DISK)
+        releases += (() => { p.unpersist(false); () })
+        p
+      } else partials0
     val mainFidStats = ZonalStats.fidStats(partials)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    releases += (() => { mainFidStats.unpersist(false); () })
     mainFidStats.count() // materialize: one kernel pass fills the cache
 
     val mainChunks =
@@ -143,7 +158,8 @@ object ZonalEngine {
     val tilesFor = fallbackTiles.getOrElse(
       (_: org.locationtech.jts.geom.Envelope) => tiles)
     finishStats(spark, mainFidStats, mainChunks, zones, zonesDf, grid,
-      nodata, percentiles, exactPercentiles, tilesFor, histogram)
+      nodata, percentiles, exactPercentiles, tilesFor, histogram,
+      releases.toSeq)
   }
 
   /** The tail of the zonal pipeline, shared by the direct path above
@@ -154,6 +170,9 @@ object ZonalEngine {
     *
     * @param zones   the SIMPLIFIED zone set the kernel ran against
     * @param tilesFor envelope-pruned tile scan for the fallback pass
+    * @param releases caller-cached intermediates (persists/broadcasts)
+    *   backing `mainFidStats`/`mainChunks`; released synchronously once
+    *   the final (dimension-sized) result has materialized
     */
   private[graft] def finishStats(spark: SparkSession,
       mainFidStats: DataFrame, mainChunks: Option[DataFrame],
@@ -161,7 +180,8 @@ object ZonalEngine {
       nodata: Option[Double], percentiles: Seq[Double],
       exactPercentiles: Boolean,
       tilesFor: org.locationtech.jts.geom.Envelope => DataFrame,
-      histogram: Option[(Double, Double, Int)]): DataFrame = {
+      histogram: Option[(Double, Double, Int)],
+      releases: Seq[() => Unit] = Nil): DataFrame = {
     import spark.implicits._
     val pKeys = percentileKeys(percentiles)
     val collectVals = mainChunks.isDefined
@@ -169,8 +189,8 @@ object ZonalEngine {
     // ---- unset-FID envelope fallback (runner.py:697-811) ----
     val presentFids = mainFidStats.select("fid").as[Long].collect().toSet
     val unset = zones.filter(z => !presentFids.contains(z.fid))
-    val (fallbackStats, fallbackChunks) =
-      if (unset.isEmpty) (None, None)
+    val (fallbackStats, fallbackChunks, fbReleases) =
+      if (unset.isEmpty) (None, None, Nil)
       else runFallback(spark, tilesFor(Zone.totalEnvelope(unset)),
         unset, grid, nodata, collectVals)
 
@@ -198,7 +218,21 @@ object ZonalEngine {
       else pKeys.zipWithIndex.foldLeft(g) { case (df, (k, i)) =>
         df.withColumn(k, element_at(col("pcts"), i + 1))
       }.drop("pcts")
-    withP.select("group", statFields(pKeys): _*)
+    val ordered = withP.select("group", statFields(pKeys): _*)
+    // The rollup output is group-cardinality (dimension-sized — the
+    // same broadcastability assumption the whole engine makes), so
+    // materialize it NOW and synchronously drop every cached
+    // intermediate + broadcast this run pinned. Returning a lazy plan
+    // here would leave block-manager entries alive until the
+    // ContextCleaner happens to fire (under ParallelGC + a big heap:
+    // possibly never), which accumulates across reps in a long-lived
+    // session. The local result is also broadcast-friendly downstream.
+    val rows = ordered.collect()
+    (releases ++ fbReleases).foreach { r =>
+      try r() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ordered.schema)
   }
 
   /** Zero-stats frame for the no-intersection path (runner.py:424-450). */
@@ -223,7 +257,8 @@ object ZonalEngine {
     */
   private def runFallback(spark: SparkSession, tiles: DataFrame,
       unset: Seq[Zone], grid: RasterGrid, nodata: Option[Double],
-      collectVals: Boolean): (Option[DataFrame], Option[DataFrame]) = {
+      collectVals: Boolean)
+      : (Option[DataFrame], Option[DataFrame], Seq[() => Unit]) = {
     import spark.implicits._
 
     val windows: Array[(Long, Int, PixelWindow)] = (for {
@@ -234,7 +269,7 @@ object ZonalEngine {
         env.getMinY, env.getMaxY, grid.gt, grid.widthPx, grid.heightPx)
       if !win.isEmpty
     } yield (z.fid, part, win)).toArray
-    if (windows.isEmpty) return (None, None)
+    if (windows.isEmpty) return (None, None, Nil)
 
     // STRtree over the window pixel rects: the kernel probes the tile's
     // pixel range instead of scanning every window linearly — fallback
@@ -251,14 +286,23 @@ object ZonalEngine {
     val gridB = grid
     val nodataB = nodata
     val cvB = collectVals
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    releases += (() => bcWin.destroy())
 
-    val winPartials = tiles.select("image_id", "bytes", "fmt")
+    val winPartials0 = tiles.select("image_id", "bytes", "fmt")
       .as[(String, Array[Byte], String)]
       .flatMap { case (id, bytes, fmt) =>
         val (ws, t) = bcWin.value
         fallbackTileKernel(id, bytes, fmt, gridB, ws, t, nodataB, cvB)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cache only when the percentile path re-reads the value chunks —
+    // the scalar-stats path consumes the kernel output exactly once
+    val winPartials =
+      if (collectVals) {
+        val w = winPartials0.persist(StorageLevel.MEMORY_AND_DISK)
+        releases += (() => { w.unpersist(false); () })
+        w
+      } else winPartials0
 
     val agg = winPartials.groupBy("fid", "part").agg(
       sum("cnt").as("cnt"), sum("nodata").as("nodata"),
@@ -284,7 +328,7 @@ object ZonalEngine {
       if (!collectVals) None
       else Some(winPartials.select($"fid", $"vals")
         .where(size($"vals") > 0))
-    (Some(fbStats), fbChunks)
+    (Some(fbStats), fbChunks, releases.toSeq)
   }
 
   /** Per-tile kernel of the fallback pass: every pixel of the tile
