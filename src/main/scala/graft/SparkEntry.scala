@@ -54,6 +54,7 @@ object SparkEntry {
     "q_rollup_pricing" -> ((s, sf) => GQ.rollupPricing(s, sf)),
     "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
     "q_ivf_trained" -> ((s, sf) => DQ.ivfTrained(s, sf)),
+    "q_ivf_k256" -> ((s, sf) => DQ.ivfK256(s, sf)),
     // training-data pipeline operators
     "q_dedup_exact" -> ((s, sf) => DQ.dedupExact(s, sf)),
     "q_hash_split" -> ((s, sf) => DQ.hashSplit(s, sf)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_rollup_pricing" -> GQ.rollupPricingSql,
     "q_ivf_topk" -> DQ.ivfTopKSql,
     "q_ivf_trained" -> DQ.ivfTrainedSql,
+    "q_ivf_k256" -> DQ.ivfK256Sql,
     "q_dedup_exact" -> DQ.dedupExactSql,
     "q_hash_split" -> DQ.hashSplitSql,
     "q_hash_sample" -> DQ.hashSampleSql,

@@ -422,7 +422,8 @@ FROM (
   /** IVF oracle body shared by the fixed-quantizer and trained-
     * quantizer queries: assignment / probes / scoring over the
     * embeddings parquet, parameterized by the `cents` CTE. */
-  private def ivfSql(centsCte: String): String = {
+  private def ivfSql(centsCte: String, probes: Int = IvfProbes,
+      k: Int = IvfK): String = {
     def l2(a: String, b: String) =
       s"""(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
@@ -453,7 +454,7 @@ probes AS (
         ORDER BY ${l2("e.embedding", "c.cvec")} ASC, c.cent_id ASC) AS rn
     FROM embeddings e, cents c
     WHERE e.vec_id >= 100 AND e.vec_id < 105
-  ) WHERE rn <= $IvfProbes
+  ) WHERE rn <= $probes
 ),
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
@@ -468,12 +469,33 @@ SELECT query_id, cand_id, CAST(rank AS INT) AS rank, score FROM (
     row_number() OVER (PARTITION BY query_id
       ORDER BY score DESC, cand_id ASC) AS rank
   FROM scored
-) WHERE rank <= $IvfK"""
+) WHERE rank <= $k"""
   }
 
   val ivfTopKSql: String = ivfSql(
     s"SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings " +
       s"WHERE vec_id < $IvfCentroids")
+
+  // ---- IVF at a PRODUCTION-SHAPED list count (K = 256) ----
+  // exercises the reference-object centroid index
+  // (graft.functions.IvfCentroids): at K=256×64dim the old
+  // per-centroid struct-literal plan was already thousands of nodes;
+  // this stays ONE ivf_nearest node per side at any K.
+  private val IvfBigK = 256
+  private val IvfBigProbes = 4
+
+  def ivfK256(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < IvfBigK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfTopK(e, queries, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = IvfK, nProbe = IvfBigProbes)
+  }
+
+  val ivfK256Sql: String = ivfSql(
+    s"SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings " +
+      s"WHERE vec_id < $IvfBigK", probes = IvfBigProbes)
 
   // ---- IVF with a TRAINED coarse quantizer (deterministic k-means) ----
   private val IvfTrainN = 64

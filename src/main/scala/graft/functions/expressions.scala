@@ -179,6 +179,111 @@ object SrpBucketImpl {
   }
 }
 
+/** Serializable IVF coarse-quantizer index: the K×dim centroid matrix
+  * plus ids, shipped to executors ONCE as a codegen reference object —
+  * not as K×dim plan literals. The literal-array formulation
+  * (`array(struct(dist2(vec, lit(cv)), cid)…)`) embeds every centroid
+  * component in the plan/codegen source, which explodes at production
+  * list counts (K ≈ √N ≈ 10^4–10^5); this object keeps the plan at
+  * ONE node for any K, with the argmin in a tight JVM loop.
+  *
+  * Distance fold order matches the composed `dist2` form exactly
+  * (float64 accumulation in ascending element order), and ties break
+  * (distance asc, centroid id asc) like the lexicographic struct
+  * ordering — results are bit-identical to the literal formulation.
+  */
+final class IvfCentroids(val ids: Array[Long],
+    vecsF: Array[Array[Float]]) extends Serializable {
+  require(ids.nonEmpty && ids.length == vecsF.length,
+    "ids and centroid vectors must align and be non-empty")
+  require(ids.sameElements(ids.sorted), "centroid ids must be ascending")
+  val dim: Int = vecsF(0).length
+  require(vecsF.forall(_.length == dim),
+    "all centroid vectors must share one dimension")
+  // float32 components widened once — identical values to the
+  // cast("double") the composed Column form applies per element
+  private val vecs: Array[Array[Double]] =
+    vecsF.map(_.map(_.toDouble))
+
+  def numCentroids: Int = ids.length
+
+  /** Ids of the `n` nearest centroids by L2², (distance, id) asc. */
+  def nearest(arr: ArrayData, n: Int, elemIsDouble: Boolean): ArrayData = {
+    require(arr.numElements() == dim,
+      s"ivf_nearest: vector has ${arr.numElements()} elements, " +
+        s"centroids have $dim")
+    val k = ids.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = vecs(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (elemIsDouble) arr.getDouble(d)
+          else arr.getFloat(d).toDouble
+        val diff = x - cv(d)
+        acc += diff * diff
+        d += 1
+      }
+      dists(c) = acc
+      c += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Long](m)
+    if (m == 1) {
+      var best = 0
+      var i = 1
+      while (i < k) {
+        if (dists(i) < dists(best)) best = i // ids ascending: ties keep first
+        i += 1
+      }
+      out(0) = ids(best)
+    } else {
+      // distance pass is O(K·dim); a full O(K log K) index sort is
+      // noise next to it at any realistic K
+      val idx = Array.range(0, k).sortBy(i => (dists(i), ids(i)))
+      var i = 0
+      while (i < m) { out(i) = ids(idx(i)); i += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** The `n` nearest IVF centroid ids of an embedding vector, ordered
+  * (L2² asc, id asc) — n=1 is list ASSIGNMENT, n=nProbe is query
+  * PROBING. One codegen node at any centroid count: the matrix rides
+  * along as a reference object ([[IvfCentroids]]), never as plan
+  * literals. */
+case class IvfNearestCentroids(child: Expression, index: IvfCentroids,
+    n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_nearest"
+
+  // lazy: child.dataType is only known post-analysis
+  private lazy val elemIsDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"ivf_nearest expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    index.nearest(v.asInstanceOf[ArrayData], n, elemIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfIndex", index,
+      classOf[IvfCentroids].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.nearest($a, $n, $elemIsDouble)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : IvfNearestCentroids = copy(child = c)
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -226,4 +331,10 @@ object functions {
     * expression node regardless of dim×planes. */
   def srp_bucket(vec: Column, dim: Int, numPlanes: Int): Column =
     col(SrpBucket(expr(vec), dim, numPlanes))
+
+  /** The `n` nearest centroid ids of `vec` (L2² asc, id asc) against
+    * a centroid index shipped as ONE reference object — plan size
+    * independent of centroid count. */
+  def ivf_nearest(vec: Column, index: IvfCentroids, n: Int): Column =
+    col(IvfNearestCentroids(expr(vec), index, n))
 }

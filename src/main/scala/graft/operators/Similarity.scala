@@ -135,15 +135,16 @@ object Similarity {
     * equi-join — per-query cost is nProbe/K of brute force, and
     * nothing all-pairs materializes.
     *
-    * Centroid ASSIGNMENT is a per-row fold over the (collected,
-    * dimension-sized) centroid table — an `array_min` over
-    * struct(distance, centroid_id) literals, so the candidate side
-    * carries NO exchange: no crossJoin row blowup, no Window shuffle/
-    * sort of the full candidate table (that Window was the one
-    * scale-killer in this operator's first cut). Tie-break matches
-    * the SQL form: distance asc, centroid id asc via lexicographic
-    * struct ordering. (Deterministic: callers supply the centroid
-    * table; no RNG.) */
+    * Centroid ASSIGNMENT is a per-row argmin against the (collected,
+    * dimension-sized) centroid table, executed by ONE custom codegen
+    * node (`ivf_nearest`, [[graft.functions.IvfCentroids]]) that
+    * carries the K×dim matrix as a reference object — so the
+    * candidate side has NO exchange (no crossJoin blowup, no Window
+    * shuffle — the scale-killer in this operator's first cut) AND the
+    * plan stays one node at production list counts (K ≈ 10^4–10^5),
+    * where the earlier per-centroid struct-literal array exploded
+    * plan/codegen size. Tie-break: distance asc, centroid id asc.
+    * (Deterministic: callers supply the centroid table; no RNG.) */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int,
@@ -154,21 +155,16 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "centroid table is empty")
-
-    // array of struct(d, cid) per row; lexicographic struct ordering
-    // = (distance asc, centroid id asc)
-    def distArr(vec: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(dist2(vec, lit(cv)).as("d"), lit(cid).as("cid"))
-    }: _*)
+    val index = new graft.functions.IvfCentroids(
+      cents.map(_._1), cents.map(_._2))
+    import graft.functions.functions.ivf_nearest
 
     val cand = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("candv"),
-      array_min(distArr(col(vecCol))).getField("cid").as("list_id"))
+      element_at(ivf_nearest(col(vecCol), index, 1), 1).as("list_id"))
     val qry = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("queryv"),
-      explode(transform(
-        slice(array_sort(distArr(col(vecCol))), 1, nProbe),
-        e => e.getField("cid"))).as("list_id"))
+      explode(ivf_nearest(col(vecCol), index, nProbe)).as("list_id"))
     val scored = qry.join(cand, Seq("list_id"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("score", cosine(col("queryv"), col("candv")))
