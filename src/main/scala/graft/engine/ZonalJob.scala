@@ -60,12 +60,21 @@ object ZonalJob {
     }.toMap
   }
 
-  /** Per-raster checkpoint dir, keyed by stem + full-path hash: two
-    * rasters with the same basename in different directories must NOT
-    * share (and concurrently race on) one chunk dir. */
+  /** Per-(job, raster) checkpoint dir, keyed by raster stem + a hash
+    * of the full raster path AND the job's zonal context (vector,
+    * layer, field, operations): jobs run concurrently, so two jobs
+    * sharing a workdir and a raster but differing in vector/field/ops
+    * must not race on one chunk dir — their fingerprints differ, both
+    * would recompute, and one job's chunk stats could be overwritten
+    * between the other's write and merge-read (the reference avoids
+    * this with a mkdtemp per invocation, runner.py:343; we stay
+    * deterministic so RESUME still finds the dir). Same-basename
+    * rasters in different directories split on the path hash. */
   def ckptDirFor(job: Config.JobSpec, rasterPath: String): String = {
     val stem = Paths.get(rasterPath).getFileName.toString
-    val tag = f"${graft.functions.XXHash64.hashString(rasterPath, 7L)}%08x"
+    val ctx = Seq(rasterPath, job.aggVector, job.aggLayer, job.aggField,
+      job.operations.mkString(",")).mkString("|")
+    val tag = f"${graft.functions.XXHash64.hashString(ctx, 7L)}%08x"
       .takeRight(8)
     s"${job.workdir}/ckpt_${stem}_$tag"
   }

@@ -47,8 +47,17 @@ object RefOracle {
     val p = gf.createPoint(new Coordinate(cx, cy))
     if (geom.contains(p)) true
     else if (!geom.intersects(p)) false // strictly outside
-    else geom.contains(gf.createPoint(new Coordinate(
-      cx + grid.gt.px * 1e-7, cy + grid.gt.py * 1e-12)))
+    else {
+      // the y-nudge must survive fp addition: at projected
+      // coordinates (|cy| ~ 1e6-1e7, metre pixels) py*1e-12 rounds
+      // to exactly cy (3e-11 < ulp(1e6) ≈ 1.2e-10) and horizontal
+      // ties would be misdecided — floor it at a few ulps of cy
+      // while keeping it orders below the x-nudge's pixel fraction
+      val dy = math.signum(grid.gt.py) * math.max(
+        math.abs(grid.gt.py) * 1e-12, 4 * Math.ulp(cy))
+      geom.contains(gf.createPoint(new Coordinate(
+        cx + grid.gt.px * 1e-7, cy + dy)))
+    }
   }
 
   def zonalStats(grid: RasterGrid, valueFn: (Int, Int) => Float,

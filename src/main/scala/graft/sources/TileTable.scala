@@ -27,12 +27,19 @@ import scala.jdk.CollectionConverters._
   *
   * Scale envelope of the single-JSON manifest: 10^12 tiles at ~10^6
   * rows/file is ~10^6 file entries ≈ 10^2 MB of manifest — loadable
-  * on a driver and prunable in milliseconds (entries are cell-sorted;
-  * the linear intersect could become a binary search). Beyond ~10^7
-  * entries the next step is the Iceberg manifest-tree shape (manifest
-  * lists pointing at range-partitioned manifest shards) behind the
-  * same open/prune API; nothing downstream depends on the flat
-  * layout.
+  * on a driver and prunable in tens of milliseconds (the cover ranges
+  * are index-sorted and each file intersects via one binary search,
+  * O(files · log ranges) — see `TileTable.intersectFiles`). Beyond
+  * ~10^7 entries the next step is the Iceberg manifest-tree shape
+  * (manifest lists pointing at range-partitioned manifest shards)
+  * behind the same open/prune API; nothing downstream depends on the
+  * flat layout.
+  *
+  * Manifest COMMITS are versioned (`manifest-v<N>.json`, published
+  * with an atomic conditional link — see the commit protocol notes on
+  * `TileTable.commitManifest`): mutations are optimistic
+  * read-modify-write retries, so a lost POSIX lock can waste work but
+  * never lose a committed update.
   */
 final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
     rows: Long)
@@ -41,10 +48,15 @@ final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
   * `(path, band)` with per-band nodata (`runner.py:264-265,295-296`). */
 final case class BandInfo(band: Int, nodata: Option[Double])
 
+/** @param committedBatches streaming-ingest batch ids already applied
+  *   to the table (one writer stream per table, the usual foreachBatch
+  *   contract). Carried through compaction, so replay detection
+  *   survives data files being rewritten into new generations. */
 final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     cellLevel: Int, files: Seq[TileFileStat],
     srs: Option[String] = None,
-    bands: Seq[BandInfo] = Nil)
+    bands: Seq[BandInfo] = Nil,
+    committedBatches: Seq[Long] = Nil)
 
 class TileTable(val root: String, val manifest: TileManifest) {
 
@@ -78,6 +90,11 @@ class TileTable(val root: String, val manifest: TileManifest) {
   def prunedFiles(env: Envelope): Seq[TileFileStat] =
     prunedFilesWithRanges(env)._1
 
+  // cover-range index built once per open table: ranges sorted by lo
+  // with a running max of hi, so each file's intersection test is one
+  // binary search — O(files · log ranges) per prune instead of
+  // O(files · ranges). At a 10^6-entry manifest that is the difference
+  // between ~6M comparisons (<50 ms on a driver) and ~10^8-10^9.
   private def prunedFilesWithRanges(env: Envelope)
       : (Seq[TileFileStat], Seq[(Long, Long)]) = {
     val g = manifest.grid
@@ -87,10 +104,11 @@ class TileTable(val root: String, val manifest: TileManifest) {
     val ranges = Morton.coverRangesCapped(inflated.getMinX,
       inflated.getMaxX, inflated.getMinY, inflated.getMaxY,
       manifest.cellLevel)
-    val files = manifest.files.filter(f =>
-      ranges.exists { case (lo, hi) => f.cellMax >= lo && f.cellMin <= hi })
-    (files, ranges)
+    (pruneIndex.intersect(ranges), ranges)
   }
+
+  // built once per opened table (the manifest is immutable)
+  private lazy val pruneIndex = new TileTable.FilePruneIndex(manifest.files)
 
   def grid: RasterGrid = manifest.grid
   def nodata: Option[Double] = manifest.nodata
@@ -129,6 +147,61 @@ object TileTable {
   val DefaultCellLevel = 12
 
   private val mapper = new ObjectMapper()
+
+  /** Prune index over a manifest's file entries: cell bounds copied
+    * into primitive arrays ONCE per opened table (traversing 10^6
+    * entry objects costs tens of ms in cache misses — that belongs in
+    * table-open, not in every query), after which an intersection
+    * against a cover-range set is pure array arithmetic: the ranges
+    * are sorted by lo with a running max of hi, and each file tests
+    * via one binary search — O(files · log ranges), exact for
+    * arbitrary overlap (no disjointness assumption — streaming
+    * appends overlap freely). */
+  private[sources] final class FilePruneIndex(files: Seq[TileFileStat]) {
+    private val fs = files.toArray
+    private val fMin = fs.map(_.cellMin)
+    private val fMax = fs.map(_.cellMax)
+
+    def intersect(ranges: Seq[(Long, Long)]): Seq[TileFileStat] = {
+      if (ranges.isEmpty || fs.isEmpty) return Seq.empty
+      val sorted = ranges.sortBy(_._1).toArray
+      val lo = sorted.map(_._1)
+      val prefixMaxHi = new Array[Long](sorted.length)
+      var m = Long.MinValue
+      var i = 0
+      while (i < sorted.length) {
+        if (sorted(i)._2 > m) m = sorted(i)._2
+        prefixMaxHi(i) = m
+        i += 1
+      }
+      val globalLo = lo(0)
+      val globalMaxHi = prefixMaxHi(prefixMaxHi.length - 1)
+      val hits = scala.collection.mutable.ArrayBuffer.empty[TileFileStat]
+      var f = 0
+      val n = fs.length
+      while (f < n) {
+        val fmx = fMax(f); val fmn = fMin(f)
+        // cheap whole-cover reject first: most files of a large
+        // manifest fall entirely outside the query's span
+        if (fmx >= globalLo && fmn <= globalMaxHi) {
+          // first index with lo > fmx (binary search on sorted los)
+          var a = 0; var b = lo.length
+          while (a < b) {
+            val mid = (a + b) >>> 1
+            if (lo(mid) <= fmx) a = mid + 1 else b = mid
+          }
+          if (a > 0 && prefixMaxHi(a - 1) >= fmn) hits += fs(f)
+        }
+        f += 1
+      }
+      hits.toSeq
+    }
+  }
+
+  /** One-shot convenience over [[FilePruneIndex]]. */
+  private[sources] def intersectFiles(files: Seq[TileFileStat],
+      ranges: Seq[(Long, Long)]): Seq[TileFileStat] =
+    new FilePruneIndex(files).intersect(ranges)
 
   /** Write a tile table: adds the Morton `cell` column (tile-center
     * cell at `cellLevel`), range-partitions + sorts by it, writes
@@ -198,13 +271,16 @@ object TileTable {
   }
 
   /** Coarse per-table mutation lock (atomic O_EXCL file create, stale
-    * locks stolen after `staleMs`): [[appendBatch]] and [[compact]]
-    * both mutate the manifest read-modify-write style, so without
-    * mutual exclusion a concurrent pair could lose an update or leave
-    * the manifest referencing deleted files. Works on POSIX/HDFS
-    * semantics; object stores without atomic create need an external
-    * coordinator (the same caveat as any file-based table format
-    * without a catalog). */
+    * locks stolen after `staleMs`): serializes the EXPENSIVE side of
+    * [[appendBatch]]/[[compact]]/[[vacuum]] (data writes, deletes).
+    * Manifest correctness does NOT depend on it — the versioned
+    * conditional commit ([[commitManifest]]) rejects lost updates even
+    * if two holders ever coexist (e.g. after a stale-lock steal race).
+    *
+    * Stealing a stale lock goes through an atomic RENAME to a unique
+    * name: rename succeeds for exactly one stealer, so the
+    * judged-stale-by-two TOCTOU (A deletes + recreates, B's delete
+    * then removes A's fresh lock) cannot mint two holders. */
   private def withTableLock[A](root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val lock = Paths.get(root, "_lock")
@@ -217,13 +293,95 @@ object TileTable {
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: Exception => 0L }
-          if (age > staleMs) Files.deleteIfExists(lock) // crashed holder
+          if (age > staleMs) {
+            // crashed holder: steal via atomic rename — only the
+            // winning renamer observes success, everyone else loops
+            val tomb = Paths.get(root,
+              s"_lock.stale.${java.util.UUID.randomUUID()}")
+            try {
+              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(tomb)
+            } catch { case _: Exception => () }
+          }
           else if (System.nanoTime() > deadline)
             throw new IllegalStateException(s"timed out on $lock")
           else Thread.sleep(50)
       }
     }
     try body finally Files.deleteIfExists(lock)
+  }
+
+  // ---- versioned manifest commit -----------------------------------
+  //
+  // The manifest is a chain of IMMUTABLE versions `manifest-v<N>.json`
+  // published with a CONDITIONAL PUT: the file is staged to a temp
+  // name and linked into place with Files.createLink, which is atomic
+  // and FAILS if the target exists (link(2) EEXIST) — so of two racing
+  // committers of version N, exactly one wins and the other re-reads
+  // and retries on top of the winner's manifest. Unlike a plain
+  // rename, there is no check-then-move window. Readers resolve the
+  // highest version present. This removes the POSIX-lock correctness
+  // dependency the flat manifest.json had; on an object store the
+  // same protocol needs the store's conditional-put (S3
+  // If-None-Match / GCS generation-0 precondition) behind
+  // [[commitManifest]] — the one method a port has to swap.
+  // Legacy tables with only `manifest.json` read as version 0 and
+  // upgrade on their first mutation.
+
+  private val ManifestV = "manifest-v(\\d+)\\.json".r
+
+  /** Highest committed manifest version (0 = legacy manifest.json or
+    * empty). */
+  def currentVersion(root: String): Int = {
+    if (!Files.isDirectory(Paths.get(root))) return 0
+    val s = Files.list(Paths.get(root))
+    try {
+      s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case ManifestV(n) => Some(n.toInt)
+        case _ => None
+      }).foldLeft(0)(math.max)
+    } finally s.close()
+  }
+
+  private def manifestPath(root: String, version: Int) =
+    if (version == 0) Paths.get(root, "manifest.json")
+    else Paths.get(root, s"manifest-v$version.json")
+
+  /** Conditionally publish `m` as `version`; false = that version was
+    * committed first by someone else (caller re-reads and retries). */
+  private[sources] def commitManifest(root: String, m: TileManifest,
+      version: Int): Boolean = {
+    require(version >= 1, "versions start at 1")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root,
+      s".manifest.tmp.${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, manifestJson(m))
+    try {
+      Files.createLink(manifestPath(root, version), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Optimistic read-modify-write of the manifest: applies `f` to the
+    * current manifest and commits as the next version, retrying from
+    * a fresh read on conflict. `f` returning None = no-op (e.g. a
+    * replayed batch). Returns the resulting table. */
+  private[sources] def mutateManifest(root: String)(
+      f: TileManifest => Option[TileManifest]): TileTable = {
+    while (true) {
+      val v = currentVersion(root)
+      val t = open(root)
+      f(t.manifest) match {
+        case None => return t
+        case Some(m2) =>
+          if (commitManifest(root, m2, v + 1))
+            return new TileTable(root, m2)
+        // else: lost the race — loop re-reads the winner's manifest
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Append a micro-batch of tiles to an existing table — the
@@ -237,18 +395,37 @@ object TileTable {
     * referenced is a no-op — exactly-once table contents. Streaming
     * ingest fragments the layout by design — run [[compact]]
     * periodically to restore it. */
+  /** A batch already applied? Checked against the manifest's
+    * committedBatches (survives compaction rewriting the data files —
+    * the path-prefix heuristic alone silently double-appends a batch
+    * replayed after a compact); the legacy prefix checks cover tables
+    * written before the field existed. */
+  private def batchCommitted(m: TileManifest, batchId: Long): Boolean =
+    m.committedBatches.contains(batchId) ||
+      m.files.exists(f => f.path.startsWith(s"append-$batchId/") ||
+        f.path.startsWith(s"append-$batchId-"))
+
   def appendBatch(spark: SparkSession, root: String, tiles: DataFrame,
       batchId: Long): TileTable = withTableLock(root) {
     val t = open(root)
-    val dir = s"append-$batchId"
-    if (t.manifest.files.exists(_.path.startsWith(s"$dir/"))) t // replay
+    if (batchCommitted(t.manifest, batchId)) t // replay
     else {
+      // unique dir per ATTEMPT: if a zombie twin ever replays the same
+      // id concurrently (stolen lock), the attempts write disjoint
+      // dirs — the conditional commit picks one winner and the loser's
+      // orphan dir is vacuumed, instead of two writers clobbering one
+      // directory the winning manifest references
+      val dir = s"append-$batchId-" +
+        java.util.UUID.randomUUID().toString.take(8)
       val withCell = withCellColumn(tiles, t.grid, t.manifest.cellLevel)
       val stats = writeDataFiles(spark, withCell, root, dir, 1,
         t.manifest.bands)
-      writeManifest(root, t.manifest.copy(
-        files = (t.manifest.files ++ stats).sortBy(_.cellMin)))
-      open(root)
+      mutateManifest(root) { m =>
+        if (batchCommitted(m, batchId)) None // twin won — no-op
+        else Some(m.copy(
+          files = (m.files ++ stats).sortBy(_.cellMin),
+          committedBatches = m.committedBatches :+ batchId))
+      }
     }
   }
 
@@ -271,23 +448,46 @@ object TileTable {
     val t = open(root)
     if (t.manifest.files.isEmpty) t // nothing to compact
     else {
-      val oldDirs = t.manifest.files.map(f => parentDir(f.path)).distinct
-      // next generation dir: data -> data-1 -> data-2 ...
-      val genNums = oldDirs.map {
+      val rewritten = t.manifest.files
+      val rewrittenSet = rewritten.map(_.path).toSet
+      val oldDirs = rewritten.map(f => parentDir(f.path)).distinct
+      // next generation dir: data -> data-1 -> data-2 ... numbered
+      // past every generation present ON DISK (not just referenced),
+      // so an orphaned generation can never be reused/clobbered
+      val genNums = (oldDirs ++ listDataDirs(root)).map {
         case "data" => 0
         case d => d.stripPrefix("data-").toIntOption.getOrElse(0)
       }
       val newDir = s"data-${(0 +: genNums).max + 1}"
       val stats = writeDataFiles(spark, t.read(spark), root, newDir,
         numFiles, t.manifest.bands)
-      writeManifest(root, t.manifest.copy(files = stats))
-      if (!keepOld) oldDirs.foreach(d =>
-        graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
-      open(root)
+      val out = mutateManifest(root) { m =>
+        // keep any files committed since the rewrite started (e.g. a
+        // concurrent append under a stolen lock) — the rewrite only
+        // replaces the file set it actually read
+        val added = m.files.filterNot(f => rewrittenSet.contains(f.path))
+        Some(m.copy(files = (stats ++ added).sortBy(_.cellMin)))
+      }
+      if (!keepOld) {
+        val stillReferenced = out.manifest.files
+          .map(f => parentDir(f.path)).toSet
+        oldDirs.filterNot(stillReferenced.contains).foreach(d =>
+          graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+      }
+      out
     }
   }
 
-  def writeManifest(root: String, m: TileManifest): Unit = {
+  /** Generation (`data*`) and append dirs present under root. */
+  private def listDataDirs(root: String): Seq[String] = {
+    val s = Files.list(Paths.get(root))
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(d => d == "data" || d.startsWith("data-")).toSeq
+    finally s.close()
+  }
+
+  private def manifestJson(m: TileManifest): String = {
     val o = mapper.createObjectNode()
     o.put("format", FormatName)
     val g = o.putObject("grid")
@@ -306,23 +506,29 @@ object TileTable {
       }
     }
     o.put("cellLevel", m.cellLevel)
+    if (m.committedBatches.nonEmpty) {
+      val ca = o.putArray("committedBatches")
+      m.committedBatches.foreach(ca.add)
+    }
     val arr = o.putArray("files")
     m.files.foreach { f =>
       val fo = arr.addObject()
       fo.put("path", f.path); fo.put("cellMin", f.cellMin)
       fo.put("cellMax", f.cellMax); fo.put("rows", f.rows)
     }
-    val tmp = Paths.get(root, ".manifest.json.tmp")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(o))
-    Files.move(tmp, Paths.get(root, "manifest.json"),
-      StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** Publish `m` as the table's next manifest version (retrying past
+    * concurrent committers). Initial table writes land as v1. */
+  def writeManifest(root: String, m: TileManifest): Unit = {
+    var done = false
+    while (!done) done = commitManifest(root, m, currentVersion(root) + 1)
   }
 
   def open(root: String): TileTable = {
-    val j = mapper.readTree(Files.readString(Paths.get(root, "manifest.json")))
+    val j = mapper.readTree(
+      Files.readString(manifestPath(root, currentVersion(root))))
     require(j.get("format").asText() == FormatName,
       s"not a $FormatName table: $root")
     val g = j.get("grid")
@@ -340,13 +546,16 @@ object TileTable {
       BandInfo(b.get("band").asInt(),
         Option(b.get("nodata")).map(_.asDouble()))
     }.toSeq).getOrElse(Nil)
+    val committed = Option(j.get("committedBatches"))
+      .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Nil)
     new TileTable(root, TileManifest(grid, nodata,
       j.get("cellLevel").asInt(), files,
-      Option(j.get("srs")).map(_.asText()), bands))
+      Option(j.get("srs")).map(_.asText()), bands, committed))
   }
 
   def exists(root: String): Boolean =
-    Files.exists(Paths.get(root, "manifest.json"))
+    Files.exists(Paths.get(root, "manifest.json")) ||
+      currentVersion(root) > 0
 
   /** Parent directory name of a manifest file path (the generation
     * dir) — the one definition shared by compact and vacuum. */
@@ -367,6 +576,7 @@ object TileTable {
     * a lost-lock race can cost a manifest update, never data. */
   def vacuum(root: String,
       graceMs: Long = 10 * 60 * 1000L): Seq[String] = withTableLock(root) {
+    val current = currentVersion(root)
     val t = open(root)
     val referenced = t.manifest.files.map(f => parentDir(f.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -385,6 +595,17 @@ object TileTable {
       } finally dirs.close()
     removable.foreach(d =>
       graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+    // superseded manifest versions (and a legacy manifest.json once a
+    // versioned one exists) age out under the same grace window;
+    // in-flight committers always target currentVersion+1, which is
+    // never older than `current`, so this can't race a commit
+    val manifestGc = ((1 until current).map(manifestPath(root, _)) ++
+      (if (current > 0) Seq(manifestPath(root, 0)) else Nil))
+      .filter { p =>
+        try Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: Exception => false }
+      }
+    manifestGc.foreach(Files.deleteIfExists(_))
     removable.sorted
   }
 }
