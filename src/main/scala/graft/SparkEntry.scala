@@ -69,6 +69,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
     // scale-path / multimodal ops (rows-only where not SQL-expressible)
     "q_zonal_approx_pct" -> ((s, _) => EQ.zonalApproxPercentile(s)),
+    "q_zonal_gk_pct" -> ((s, _) => EQ.zonalGkPercentile(s)),
     "q_srp_neardup" -> ((s, sf) => DQ.srpNearDup(s, sf)),
     "q_srp_multiprobe" -> ((s, sf) => DQ.srpMultiProbe(s, sf)),
     "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_embed_neardup" -> DQ.embedNearDupSql,
     "q_audio_framesample" -> DQ.audioFrameSampleSql,
     "q_zonal_approx_pct" -> EQ.zonalApproxPercentileSql,
+    "q_zonal_gk_pct" -> EQ.zonalGkPercentileSql,
     "q_srp_neardup" -> DQ.srpNearDupSql,
     "q_srp_multiprobe" -> DQ.srpMultiProbeSql,
     "q_srp_banded" -> DQ.srpBandedSql,

@@ -434,6 +434,62 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
         col("p5"), col("p95"))
   }
 
+  /** Greenwald-Khanna percentile branch (the third percentile mode —
+    * `percentile_approx`, the default beyond
+    * [[graft.operators.ZonalEngine.ExactPercentileMaxTiles]]) under a
+    * BOUNDS-CHECK oracle: GK summaries are merge-order dependent, so
+    * the value itself cannot hash-match a static oracle — instead the
+    * query emits the exact percentiles at p±1 (the tolerance window,
+    * computed by the engine's already-oracle-verified exact path) and
+    * a boolean that the GK estimate falls inside. DuckDB recomputes
+    * the same window from raw pixel-space SQL and asserts `true`: the
+    * hash compare then verifies the window VALUES agree AND the GK
+    * branch landed inside. Window validity: 1 percentile point ≥ 2
+    * ranks at the fixture's smallest group (n=245) vs a GK rank error
+    * ≤ n/accuracy + 1 ≈ 1 rank at accuracy 10⁴. */
+  def zonalGkPercentile(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    val gk = ZonalEngine.run(spark, tiles, Fixtures.zonesBasic(grid),
+      grid, nodata = Some(-9999.0), percentilesRaw = Seq(25.0, 75.0),
+      exactPercentiles = false) // no histogram → the GK sketch path
+      .select(col("group"), col("valid_count"),
+        col("p25").as("gk25"), col("p75").as("gk75"))
+    val bounds = ZonalEngine.run(spark, tiles, Fixtures.zonesBasic(grid),
+      grid, nodata = Some(-9999.0),
+      percentilesRaw = Seq(24.0, 26.0, 74.0, 76.0))
+      .select(col("group").as("b_group"),
+        col("p24"), col("p26"), col("p74"), col("p76"))
+    gk.join(bounds, col("group") <=> col("b_group"))
+      .select(col("group").as("grp"),
+        col("valid_count").as("valid_cnt"),
+        round(col("p24"), 6).as("lo25"), round(col("p26"), 6).as("hi25"),
+        round(col("p74"), 6).as("lo75"), round(col("p76"), 6).as("hi75"),
+        ((col("gk25").isNull && col("p24").isNull) ||
+          col("gk25").between(col("p24"), col("p26")))
+          .as("p25_in_bounds"),
+        ((col("gk75").isNull && col("p74").isNull) ||
+          col("gk75").between(col("p74"), col("p76")))
+          .as("p75_in_bounds"))
+  }
+
+  val zonalGkPercentileSql: String = s"""$zonalPrologue
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  round(q.q24, 6) AS lo25, round(q.q26, 6) AS hi25,
+  round(q.q74, 6) AS lo75, round(q.q76, 6) AS hi75,
+  true AS p25_in_bounds, true AS p75_in_bounds
+FROM groups
+LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp
+LEFT JOIN (
+  SELECT grp,
+    quantile_cont(v, 0.24) FILTER (WHERE v <> -9999.0) AS q24,
+    quantile_cont(v, 0.26) FILTER (WHERE v <> -9999.0) AS q26,
+    quantile_cont(v, 0.74) FILTER (WHERE v <> -9999.0) AS q74,
+    quantile_cont(v, 0.76) FILTER (WHERE v <> -9999.0) AS q76
+  FROM asg GROUP BY grp
+) q ON groups.grp IS NOT DISTINCT FROM q.grp"""
+
   val zonalApproxPercentileSql: String = {
     val w = (HistHi - HistLo) / HistBins
     def pctExpr(p: Int, name: String) =
