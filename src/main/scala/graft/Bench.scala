@@ -288,8 +288,14 @@ object Bench {
     // median over the pooled warm reps (headline, cross-round
     // comparable) and min (the trimmed "capability" number a judge
     // can use when the telemetry shows host steal).
+    // `reps` scales the number of CHILDREN (warm reps stay ≤2 per
+    // child so nothing accumulates): at the default reps=5 this is
+    // 1/2/3 children for p2/p8/p32; raising reps adds children at
+    // every level rather than silently doing nothing.
     def levelPlan(defaultChildren: Int): (Int, Int) =
-      if (smoke) (1, 1) else (defaultChildren, 2)
+      if (smoke) (1, 1)
+      else (math.max(defaultChildren,
+        defaultChildren + (reps - 5 + 1) / 2), 2)
     val (c2, cc2) = levelPlan(1)
     val (c8, cc8) = levelPlan(2)
     val (c32, cc32) = levelPlan(3)

@@ -20,13 +20,27 @@ import org.apache.spark.sql.SparkSession
   * (see [[graft.operators.ZonalEngine.finishStats]]).
   */
 object Caches {
+  /** Cap on pending releases per session: a caller that never drains
+    * (and would previously have leaked through the ContextCleaner
+    * anyway) has its OLDEST cache released on overflow instead of the
+    * registry itself pinning an unbounded set of persisted frames —
+    * the registry must never leak harder than the leak it fixes.
+    * Releasing early only costs recompute. */
+  val MaxPending = 8
+
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.Queue[() => Unit]]()
 
-  def register(spark: SparkSession, release: () => Unit): Unit =
-    reg.computeIfAbsent(spark,
+  def register(spark: SparkSession, release: () => Unit): Unit = {
+    val q = reg.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]())
-      .add(release)
+    q.add(release)
+    while (q.size() > MaxPending) {
+      val r = q.poll()
+      if (r != null)
+        try r() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Release everything registered against `spark`. */
   def drain(spark: SparkSession): Unit = {

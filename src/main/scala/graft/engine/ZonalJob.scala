@@ -181,7 +181,11 @@ object ZonalJob {
       .append('|').append(job.operations.mkString(",")).append('\n')
     job.rasterPaths.foreach { p =>
       sb.append(p).append('|')
-      val man = Paths.get(p, "manifest.json")
+      // resolve the CURRENT manifest (versioned manifest-v<N>.json,
+      // falling back to a legacy flat manifest.json) — reading the
+      // flat path alone would stop tracking content changes on
+      // versioned tables and the memo would serve stale CSVs
+      val man = graft.sources.TileTable.currentManifestPath(p)
       sb.append(if (Files.exists(man)) Files.readString(man) else "?")
         .append('\n')
     }

@@ -227,10 +227,14 @@ object ZonalEngine {
     // ContextCleaner happens to fire (under ParallelGC + a big heap:
     // possibly never), which accumulates across reps in a long-lived
     // session. The local result is also broadcast-friendly downstream.
-    val rows = ordered.collect()
-    (releases ++ fbReleases).foreach { r =>
-      try r() catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // release in a finally: a failed collect (task failure, OOM) must
+    // not strand the persists/broadcasts in the block manager — that
+    // is exactly the accumulation this path exists to prevent
+    val rows =
+      try ordered.collect()
+      finally (releases ++ fbReleases).foreach { r =>
+        try r() catch { case scala.util.control.NonFatal(_) => () }
+      }
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), ordered.schema)
   }

@@ -51,7 +51,12 @@ final case class BandInfo(band: Int, nodata: Option[Double])
 /** @param committedBatches streaming-ingest batch ids already applied
   *   to the table (one writer stream per table, the usual foreachBatch
   *   contract). Carried through compaction, so replay detection
-  *   survives data files being rewritten into new generations. */
+  *   survives data files being rewritten into new generations.
+  *   BOUNDED: only the ids within [[TileTable.BatchIdWindow]] of the
+  *   maximum are retained — anything below that watermark counts as
+  *   committed (batch ids are monotonic per the one-writer contract,
+  *   and a crash replays recent batches, not ancient ones), so
+  *   manifest size stays O(window) at any ingest age. */
 final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     cellLevel: Int, files: Seq[TileFileStat],
     srs: Option[String] = None,
@@ -273,29 +278,42 @@ object TileTable {
   /** Coarse per-table mutation lock (atomic O_EXCL file create, stale
     * locks stolen after `staleMs`): serializes the EXPENSIVE side of
     * [[appendBatch]]/[[compact]]/[[vacuum]] (data writes, deletes).
-    * Manifest correctness does NOT depend on it — the versioned
-    * conditional commit ([[commitManifest]]) rejects lost updates even
-    * if two holders ever coexist (e.g. after a stale-lock steal race).
+    * Lost MANIFEST updates cannot happen regardless — the versioned
+    * conditional commit ([[commitManifest]]) rejects them even if two
+    * holders ever coexist — but coexisting holders can still duplicate
+    * work (two compacts of the same file set would merge to duplicate
+    * rows), so holder liveness matters:
     *
-    * Stealing a stale lock goes through an atomic RENAME to a unique
-    * name: rename succeeds for exactly one stealer, so the
-    * judged-stale-by-two TOCTOU (A deletes + recreates, B's delete
-    * then removes A's fresh lock) cannot mint two holders. */
-  private def withTableLock[A](root: String,
+    *   - a HEARTBEAT thread refreshes the lock's mtime while the body
+    *     runs, so a legitimately slow holder (a long compact rewrite)
+    *     is never judged crashed — staleness means "no heartbeat for
+    *     `staleMs`", not "running longer than `staleMs`";
+    *   - stealing goes through an atomic RENAME to a unique name
+    *     (exactly one stealer wins the judged-stale-by-two race);
+    *   - the lock carries an OWNER TOKEN, and release only deletes the
+    *     lock if the token still matches — a zombie holder whose lock
+    *     was stolen cannot free its successor's lock on the way out. */
+  private[sources] def withTableLock[A](root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val lock = Paths.get(root, "_lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
+      try {
+        Files.createFile(lock)
+        try Files.writeString(lock, token)
+        catch { case _: Exception => () } // mtime already marks liveness
+        held = true
+      }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: Exception => 0L }
           if (age > staleMs) {
-            // crashed holder: steal via atomic rename — only the
-            // winning renamer observes success, everyone else loops
+            // no heartbeat for staleMs: crashed holder — steal via
+            // atomic rename; only the winning renamer observes success
             val tomb = Paths.get(root,
               s"_lock.stale.${java.util.UUID.randomUUID()}")
             try {
@@ -308,7 +326,25 @@ object TileTable {
           else Thread.sleep(50)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(50L, staleMs / 4))
+          Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch { case _: Exception => () } // lock stolen/gone: stop
+    }, s"table-lock-heartbeat-$token")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      // owned release: never delete a successor's lock
+      try {
+        if (Files.readString(lock) == token) Files.deleteIfExists(lock)
+      } catch { case _: Exception => () }
+    }
   }
 
   // ---- versioned manifest commit -----------------------------------
@@ -346,6 +382,13 @@ object TileTable {
   private def manifestPath(root: String, version: Int) =
     if (version == 0) Paths.get(root, "manifest.json")
     else Paths.get(root, s"manifest-v$version.json")
+
+  /** Path of the manifest a reader would resolve right now — for
+    * callers that fingerprint table CONTENT (job memoization): the
+    * flat manifest.json alone goes stale the moment the table has
+    * versioned commits. */
+  def currentManifestPath(root: String): java.nio.file.Path =
+    manifestPath(root, currentVersion(root))
 
   /** Conditionally publish `m` as `version`; false = that version was
     * committed first by someone else (caller re-reads and retries). */
@@ -395,13 +438,21 @@ object TileTable {
     * referenced is a no-op — exactly-once table contents. Streaming
     * ingest fragments the layout by design — run [[compact]]
     * periodically to restore it. */
+  /** Retained-id window below the max committed batch id — replay
+    * detection state per manifest stays O(window) forever. */
+  val BatchIdWindow = 1024L
+
   /** A batch already applied? Checked against the manifest's
     * committedBatches (survives compaction rewriting the data files —
     * the path-prefix heuristic alone silently double-appends a batch
-    * replayed after a compact); the legacy prefix checks cover tables
-    * written before the field existed. */
+    * replayed after a compact): an id below the retained window's
+    * watermark is committed by definition; inside the window, by
+    * membership. The legacy prefix checks cover tables written before
+    * the field existed. */
   private def batchCommitted(m: TileManifest, batchId: Long): Boolean =
-    m.committedBatches.contains(batchId) ||
+    (m.committedBatches.nonEmpty &&
+      batchId <= m.committedBatches.max - BatchIdWindow) ||
+      m.committedBatches.contains(batchId) ||
       m.files.exists(f => f.path.startsWith(s"append-$batchId/") ||
         f.path.startsWith(s"append-$batchId-"))
 
@@ -422,9 +473,12 @@ object TileTable {
         t.manifest.bands)
       mutateManifest(root) { m =>
         if (batchCommitted(m, batchId)) None // twin won — no-op
-        else Some(m.copy(
-          files = (m.files ++ stats).sortBy(_.cellMin),
-          committedBatches = m.committedBatches :+ batchId))
+        else {
+          val ids = (m.committedBatches :+ batchId).sorted
+          Some(m.copy(
+            files = (m.files ++ stats).sortBy(_.cellMin),
+            committedBatches = ids.filter(_ > ids.max - BatchIdWindow)))
+        }
       }
     }
   }
@@ -595,17 +649,26 @@ object TileTable {
       } finally dirs.close()
     removable.foreach(d =>
       graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
-    // superseded manifest versions (and a legacy manifest.json once a
-    // versioned one exists) age out under the same grace window;
-    // in-flight committers always target currentVersion+1, which is
-    // never older than `current`, so this can't race a commit
-    val manifestGc = ((1 until current).map(manifestPath(root, _)) ++
-      (if (current > 0) Seq(manifestPath(root, 0)) else Nil))
-      .filter { p =>
-        try Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+    // Superseded manifest versions (and a legacy manifest.json once a
+    // versioned one exists) age out under the grace window measured
+    // from SUPERSESSION — the successor's commit time — not the
+    // version's own age: a reader that resolved version N just before
+    // N+1 landed must get the full grace period to finish its
+    // readString, and a version committed a day ago but superseded a
+    // millisecond ago has been superseded for a millisecond, not a
+    // day. In-flight committers always target currentVersion+1,
+    // which is never below `current`, so this can't race a commit.
+    def supersededAt(v: Int): Long =
+      try Files.getLastModifiedTime(manifestPath(root, v + 1)).toMillis
+      catch { case _: Exception => Long.MaxValue }
+    val manifestGc = ((1 until current) ++
+      (if (current > 0) Seq(0) else Nil))
+      .filter { v =>
+        val p = manifestPath(root, v)
+        try Files.exists(p) && supersededAt(v) < cutoff
         catch { case _: Exception => false }
       }
-    manifestGc.foreach(Files.deleteIfExists(_))
+    manifestGc.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     removable.sorted
   }
 }

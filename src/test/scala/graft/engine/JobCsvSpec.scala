@@ -130,6 +130,18 @@ class JobCsvSpec extends SparkSpec {
     val fresh = Files.readString(Paths.get(out))
     assert(fresh != "SENTINEL" && fresh.contains("p50"),
       "changed job was not recomputed")
+    // changed TABLE CONTENT must recompute too: the fingerprint has
+    // to track the versioned manifest chain, not a flat manifest.json
+    // that versioned tables no longer update
+    Files.writeString(Paths.get(out), "SENTINEL2")
+    TileTable.appendBatch(spark, s"$work/rasterA",
+      Synth.tiles(spark, grid, "raw", 0)
+        .where(org.apache.spark.sql.functions.col("image_id")
+          === "tile_0000_0000"),
+      batchId = 1L)
+    ZonalJob.run(spark, job2, None)
+    assert(Files.readString(Paths.get(out)) != "SENTINEL2",
+      "table content changed but the memoized job was skipped")
   }
 
   test("job on a multi-band table addresses band 1 only (reference " +

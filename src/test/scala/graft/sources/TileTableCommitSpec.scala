@@ -134,6 +134,81 @@ class TileTableCommitSpec extends SparkSpec {
     assert(TileTable.open(dir).read(spark).count() === grid.numTiles + 1)
   }
 
+  test("batch ids below the retained window count as committed;" +
+      " the manifest stays bounded") {
+    val dir = freshTable()
+    val one = Synth.tiles(spark, grid)
+      .where(col("image_id") === "tile_0000_0000")
+    val n0 = TileTable.open(dir).read(spark).count()
+    TileTable.appendBatch(spark, dir, one, batchId = 1L)
+    TileTable.appendBatch(spark, dir, one, batchId = 2000L)
+    val m = TileTable.open(dir).manifest
+    // id 1 fell below (2000 - window): pruned from the retained list
+    assert(m.committedBatches === Seq(2000L))
+    assert(TileTable.open(dir).read(spark).count() === n0 + 2)
+    // …but a replay of it is still a no-op (watermark rule)
+    TileTable.appendBatch(spark, dir, one, batchId = 1L)
+    assert(TileTable.open(dir).read(spark).count() === n0 + 2,
+      "below-watermark replay duplicated rows")
+  }
+
+  test("lock heartbeat keeps a slow holder alive past staleMs") {
+    val dir = Files.createTempDirectory("graft-lock").toString
+    @volatile var aDone = 0L
+    @volatile var bEntered = 0L
+    val a = new Thread(() => {
+      TileTable.withTableLock(dir, staleMs = 400L) {
+        Thread.sleep(1500) // slow body ≫ staleMs: must NOT be stolen
+        aDone = System.nanoTime()
+      }
+    })
+    a.start()
+    Thread.sleep(150) // A holds the lock by now
+    TileTable.withTableLock(dir, staleMs = 400L) {
+      bEntered = System.nanoTime()
+    }
+    a.join()
+    assert(bEntered > aDone,
+      "waiter stole the lock from a live (heartbeating) holder")
+  }
+
+  test("a zombie's release cannot delete the successor's lock") {
+    val dir = Files.createTempDirectory("graft-lock2").toString
+    val lock = Paths.get(dir, "_lock")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val zombie = new Thread(() => {
+      TileTable.withTableLock(dir, staleMs = 60000L) {
+        entered.countDown()
+        proceed.await()
+      }
+    })
+    zombie.start()
+    entered.await()
+    // simulate a steal + successor acquisition while the zombie runs
+    Files.move(lock, Paths.get(dir, "_lock.stolen"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(lock, "successor-token")
+    proceed.countDown()
+    zombie.join()
+    assert(Files.exists(lock), "zombie release deleted successor's lock")
+    assert(Files.readString(lock) === "successor-token")
+  }
+
+  test("superseded manifests age from supersession, not from commit") {
+    val dir = freshTable()
+    val t = TileTable.open(dir)
+    Thread.sleep(700) // make v1 old relative to the grace below
+    TileTable.writeManifest(dir, t.manifest) // v2 supersedes v1 NOW
+    val v = TileTable.currentVersion(dir)
+    TileTable.vacuum(dir, graceMs = 500L)
+    assert(Files.exists(Paths.get(dir, s"manifest-v${v - 1}.json")),
+      "freshly superseded manifest collected inside the grace window")
+    Thread.sleep(700)
+    TileTable.vacuum(dir, graceMs = 500L)
+    assert(!Files.exists(Paths.get(dir, s"manifest-v${v - 1}.json")))
+  }
+
   test("10^6-entry manifest prunes via binary search in < 50 ms") {
     val n = 1000000
     // cell-sorted entries with occasional overlap (streaming appends)
