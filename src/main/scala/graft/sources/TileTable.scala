@@ -278,11 +278,13 @@ object TileTable {
   /** Coarse per-table mutation lock (atomic O_EXCL file create, stale
     * locks stolen after `staleMs`): serializes the EXPENSIVE side of
     * [[appendBatch]]/[[compact]]/[[vacuum]] (data writes, deletes).
-    * Lost MANIFEST updates cannot happen regardless — the versioned
-    * conditional commit ([[commitManifest]]) rejects them even if two
-    * holders ever coexist — but coexisting holders can still duplicate
-    * work (two compacts of the same file set would merge to duplicate
-    * rows), so holder liveness matters:
+    * The lock is an EFFICIENCY device, not a correctness one: lost
+    * manifest updates cannot happen regardless (the versioned
+    * conditional commit, [[commitManifest]], rejects them) and a
+    * compact whose inputs were concurrently replaced aborts instead
+    * of committing duplicates (the stale-rewrite guard in
+    * [[compact]]) — coexisting holders can only WASTE work. Holder
+    * liveness still matters for that:
     *
     *   - a HEARTBEAT thread refreshes the lock's mtime while the body
     *     runs, so a legitimately slow holder (a long compact rewrite)
@@ -302,9 +304,15 @@ object TileTable {
     while (!held) {
       try {
         Files.createFile(lock)
-        try Files.writeString(lock, token)
-        catch { case _: Exception => () } // mtime already marks liveness
-        held = true
+        try { Files.writeString(lock, token); held = true }
+        catch {
+          case _: Exception =>
+            // an untokened lock could never be released (the owner
+            // check would always miss) — give it up and retry rather
+            // than wedge the table for staleMs
+            Files.deleteIfExists(lock)
+            Thread.sleep(50)
+        }
       }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -325,22 +333,49 @@ object TileTable {
             throw new IllegalStateException(s"timed out on $lock")
           else Thread.sleep(50)
       }
+      if (!held && System.nanoTime() > deadline)
+        throw new IllegalStateException(s"timed out on $lock")
     }
     val beat = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
-          Thread.sleep(math.max(50L, staleMs / 4))
-          Files.setLastModifiedTime(lock,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
+        try Thread.sleep(math.max(50L, staleMs / 4))
+        catch { case _: InterruptedException => live = false }
+        if (live) {
+          // verify ownership BEFORE touching: a zombie must neither
+          // keep its stolen lock's successor looking alive nor keep
+          // beating a lock that is no longer its own
+          val owner =
+            try Some(Files.readString(lock))
+            catch {
+              case _: java.nio.file.NoSuchFileException => None
+              case _: Exception => Some(token) // transient: retry later
+            }
+          owner match {
+            case Some(t) if t == token =>
+              try Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+              catch {
+                case _: java.nio.file.NoSuchFileException => live = false
+                case _: Exception => () // transient: beat again next tick
+              }
+            case Some(_) => live = false // stolen: stop beating
+            case None => live = false // gone: stop beating
+          }
         }
-      } catch { case _: Exception => () } // lock stolen/gone: stop
+      }
     }, s"table-lock-heartbeat-$token")
     beat.setDaemon(true)
     beat.start()
     try body finally {
       beat.interrupt()
-      // owned release: never delete a successor's lock
+      // owned release: never delete a successor's lock. (readString →
+      // delete is not atomic; the residual window needs the heartbeat
+      // to have been dead past staleMs AND a steal landing in the
+      // microseconds between the two calls — and even then the
+      // manifest layer tolerates coexisting holders: commits are
+      // conditional and compact aborts on a stale rewrite.)
       try {
         if (Files.readString(lock) == token) Files.deleteIfExists(lock)
       } catch { case _: Exception => () }
@@ -427,17 +462,6 @@ object TileTable {
     sys.error("unreachable")
   }
 
-  /** Append a micro-batch of tiles to an existing table — the
-    * `foreachBatch` sink for streaming ingest. The batch lands as a
-    * file set under `append-<batchId>` and its stats APPEND to the
-    * manifest atomically under the table lock, so concurrent readers
-    * always see a complete table and a crash between the data write
-    * and the manifest swap leaves only unreferenced files.
-    * IDEMPOTENT in `batchId`: foreachBatch redelivers a batch after a
-    * crash (at-least-once), and a replayed id whose files are already
-    * referenced is a no-op — exactly-once table contents. Streaming
-    * ingest fragments the layout by design — run [[compact]]
-    * periodically to restore it. */
   /** Retained-id window below the max committed batch id — replay
     * detection state per manifest stays O(window) forever. */
   val BatchIdWindow = 1024L
@@ -456,6 +480,17 @@ object TileTable {
       m.files.exists(f => f.path.startsWith(s"append-$batchId/") ||
         f.path.startsWith(s"append-$batchId-"))
 
+  /** Append a micro-batch of tiles to an existing table — the
+    * `foreachBatch` sink for streaming ingest. The batch lands as a
+    * file set under `append-<batchId>` and its stats APPEND to the
+    * manifest atomically under the table lock, so concurrent readers
+    * always see a complete table and a crash between the data write
+    * and the manifest swap leaves only unreferenced files.
+    * IDEMPOTENT in `batchId`: foreachBatch redelivers a batch after a
+    * crash (at-least-once), and a replayed id whose files are already
+    * referenced is a no-op — exactly-once table contents. Streaming
+    * ingest fragments the layout by design — run [[compact]]
+    * periodically to restore it. */
   def appendBatch(spark: SparkSession, root: String, tiles: DataFrame,
       batchId: Long): TileTable = withTableLock(root) {
     val t = open(root)
@@ -515,20 +550,37 @@ object TileTable {
       val newDir = s"data-${(0 +: genNums).max + 1}"
       val stats = writeDataFiles(spark, t.read(spark), root, newDir,
         numFiles, t.manifest.bands)
-      val out = mutateManifest(root) { m =>
-        // keep any files committed since the rewrite started (e.g. a
-        // concurrent append under a stolen lock) — the rewrite only
-        // replaces the file set it actually read
-        val added = m.files.filterNot(f => rewrittenSet.contains(f.path))
-        Some(m.copy(files = (stats ++ added).sortBy(_.cellMin)))
-      }
-      if (!keepOld) {
+      val out = mutateManifest(root)(m =>
+        compactMerge(m, rewrittenSet, stats))
+      val committed = out.manifest.files.map(_.path).toSet
+        .exists(p => stats.exists(_.path == p))
+      if (!keepOld && committed) {
         val stillReferenced = out.manifest.files
           .map(f => parentDir(f.path)).toSet
         oldDirs.filterNot(stillReferenced.contains).foreach(d =>
           graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
       }
       out
+    }
+  }
+
+  /** The manifest transition a finished compact rewrite commits —
+    * or None to ABORT. Abort fires when some file this compact
+    * rewrote is no longer in the manifest: a concurrent compact
+    * (possible only under a broken/stolen lock) already replaced it,
+    * and committing our copy as well would duplicate every shared
+    * row. Otherwise the rewrite replaces exactly the file set it
+    * read, keeping files committed since (concurrent appends). This
+    * guard makes duplicate rows impossible at the MANIFEST layer,
+    * whatever the lock does. */
+  private[sources] def compactMerge(m: TileManifest,
+      rewrittenSet: Set[String],
+      stats: Seq[TileFileStat]): Option[TileManifest] = {
+    val present = m.files.map(_.path).toSet
+    if (!rewrittenSet.subsetOf(present)) None
+    else {
+      val added = m.files.filterNot(f => rewrittenSet.contains(f.path))
+      Some(m.copy(files = (stats ++ added).sortBy(_.cellMin)))
     }
   }
 
@@ -660,15 +712,29 @@ object TileTable {
     // which is never below `current`, so this can't race a commit.
     def supersededAt(v: Int): Long =
       try Files.getLastModifiedTime(manifestPath(root, v + 1)).toMillis
-      catch { case _: Exception => Long.MaxValue }
-    val manifestGc = ((1 until current) ++
-      (if (current > 0) Seq(0) else Nil))
+      catch {
+        case _: Exception =>
+          // successor already GC'd (e.g. a crash mid-pass): the
+          // supersession is at least as old as the version itself —
+          // fall back to its own mtime rather than retaining a stale
+          // manifest forever
+          try Files.getLastModifiedTime(manifestPath(root, v)).toMillis
+          catch { case _: Exception => Long.MaxValue }
+      }
+    // legacy v0 first: it has no dependents, and deleting it before
+    // v1 means a crash mid-pass can never orphan it behind a missing
+    // successor
+    val manifestGc = ((if (current > 0) Seq(0) else Nil) ++
+      (1 until current))
       .filter { v =>
         val p = manifestPath(root, v)
         try Files.exists(p) && supersededAt(v) < cutoff
         catch { case _: Exception => false }
       }
-    manifestGc.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    manifestGc.foreach { v =>
+      try Files.deleteIfExists(manifestPath(root, v))
+      catch { case _: Exception => () } // one failure mustn't abort GC
+    }
     removable.sorted
   }
 }

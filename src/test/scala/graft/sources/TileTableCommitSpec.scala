@@ -195,6 +195,27 @@ class TileTableCommitSpec extends SparkSpec {
     assert(Files.readString(lock) === "successor-token")
   }
 
+  test("a stale compact rewrite aborts instead of duplicating rows") {
+    val f = (i: Int) => TileFileStat(s"data/f$i.parquet", i * 10L,
+      i * 10L + 9, 100L)
+    val g = (i: Int) => TileFileStat(s"data-1/g$i.parquet", i * 10L,
+      i * 10L + 9, 100L)
+    val m0 = TileTable.open(freshTable()).manifest
+    // healthy: rewrite of {f0,f1} commits, keeping a concurrent append
+    val healthy = m0.copy(files = Seq(f(0), f(1),
+      TileFileStat("append-7-x/a.parquet", 0, 5, 3)))
+    val merged = TileTable.compactMerge(healthy,
+      Set(f(0).path, f(1).path), Seq(g(0), g(1)))
+    assert(merged.isDefined)
+    assert(merged.get.files.map(_.path).toSet ===
+      Set(g(0).path, g(1).path, "append-7-x/a.parquet"))
+    // stale: another compact already replaced f1 — must ABORT, not
+    // commit a second copy of f1's rows
+    val afterOther = m0.copy(files = Seq(f(0), g(1)))
+    assert(TileTable.compactMerge(afterOther,
+      Set(f(0).path, f(1).path), Seq(g(0), g(1))).isEmpty)
+  }
+
   test("superseded manifests age from supersession, not from commit") {
     val dir = freshTable()
     val t = TileTable.open(dir)
