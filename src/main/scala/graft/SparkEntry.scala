@@ -61,6 +61,8 @@ object SparkEntry {
     "q_hash_sample" -> ((s, sf) => DQ.hashSample(s, sf)),
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
+    "q_winnow_fps" -> ((s, sf) => DQ.winnowFps(s, sf)),
+    "q_winnow_pairs" -> ((s, sf) => DQ.winnowPairs(s, sf)),
     "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
     "q_token_stats" -> ((s, sf) => DQ.tokenStats(s, sf)),
     "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
@@ -124,6 +126,8 @@ object SparkEntry {
     "q_hash_sample" -> DQ.hashSampleSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,
+    "q_winnow_fps" -> DQ.winnowFpsSql,
+    "q_winnow_pairs" -> DQ.winnowPairsSql,
     "q_simhash" -> DQ.simhash16Sql,
     "q_token_stats" -> DQ.tokenStatsSql,
     "q_quality_scores" -> DQ.qualityScoresSql,

@@ -54,6 +54,78 @@ SELECT * FROM (
   val MinHashBands = 4
   val MinHashJaccard = 0.66
 
+  // ---- winnowing fingerprints (SWA / MOSS) ----
+  private val WinnowK = 8
+  private val WinnowW = 6
+  private val WinnowDocCap = 150 // bounds the oracle's gram cross join
+  private val WinnowMinShared = 3
+  private val WinnowMaxDf = 4
+
+  /** Per-document winnowing-fingerprint summary: the count and the
+    * sums over (fp, pos) pin every selected fingerprint value AND its
+    * position — window-min selection, the rightmost-tie rule and the
+    * gram hash all have to agree with the oracle for the sums to
+    * match. */
+  def winnowFps(spark: SparkSession, sf: String): DataFrame =
+    TextOps.winnowFingerprints(
+      t(spark, sf, "documents").where(col("doc_id") < WinnowDocCap),
+      "doc_id", "text", WinnowK, WinnowW)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum("fp").as("sum_fp"),
+        sum("pos").as("sum_pos"))
+      .select(col("doc_id"), col("n_fps"), col("sum_fp"), col("sum_pos"))
+
+  /** Shared winnowing-fingerprint grams CTE (positions via a constant
+    * range + length filter — DuckDB's range() can't be lateral). */
+  private def winnowSelCte: String = s"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < $WinnowDocCap AND len(text) >= ${WinnowK + WinnowW - 1}
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+    (${hex2dec(s"md5(substr(text, CAST(i AS INT), $WinnowK))")})
+      % ${TextOps.MinHashP} AS h,
+    len(text) - $WinnowK + 1 AS n
+  FROM d, range(1, 100001) r(i)
+  WHERE i <= len(text) - $WinnowK + 1
+),
+wmin AS (
+  SELECT g.doc_id, CAST(ws.i AS INT) AS win,
+    min(struct_pack(h := g.h, negpos := -g.pos)) AS m
+  FROM g, range(1, 100001) ws(i)
+  WHERE g.pos >= ws.i AND g.pos < ws.i + $WinnowW
+    AND ws.i <= g.n - $WinnowW + 1
+  GROUP BY 1, 2
+),
+sel AS (SELECT DISTINCT doc_id, -m.negpos AS pos, m.h AS fp FROM wmin)"""
+
+  val winnowFpsSql: String = s"""$winnowSelCte
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+  CAST(sum(fp) AS BIGINT) AS sum_fp,
+  CAST(sum(pos) AS BIGINT) AS sum_pos
+FROM sel GROUP BY doc_id"""
+
+  /** MOSS-style near-dup pairs: ≥ minShared shared rare fingerprints
+    * (doc-frequency ≤ maxDf). */
+  def winnowPairs(spark: SparkSession, sf: String): DataFrame =
+    TextOps.winnowNearDupPairs(
+      t(spark, sf, "documents").where(col("doc_id") < WinnowDocCap),
+      "doc_id", "text", WinnowK, WinnowW,
+      WinnowMinShared, WinnowMaxDf)
+      .select(col("id_a"), col("id_b"), col("shared"))
+
+  val winnowPairsSql: String = s"""$winnowSelCte,
+docfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (SELECT fp FROM docfp GROUP BY fp
+         HAVING count(*) <= $WinnowMaxDf),
+kept AS (SELECT * FROM docfp WHERE fp IN (SELECT fp FROM rare))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
+
   def minhashLsh(spark: SparkSession, sf: String): DataFrame =
     TextOps.minhashDedup(t(spark, sf, "documents"), "doc_id", "text",
       MinHashNum, MinHashBands, MinHashJaccard)

@@ -165,6 +165,74 @@ object TextOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Winnowing document fingerprints ----------------------------
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03
+    * "Winnowing: local algorithms for document fingerprinting" — the
+    * MOSS scheme): hash every k-gram of the text; within each window
+    * of `w` consecutive gram hashes select the MINIMUM (rightmost
+    * position on ties); the distinct selected (pos, hash) pairs are
+    * the document's fingerprints. Guarantee: two documents sharing
+    * any substring of length ≥ w + k − 1 share at least one
+    * fingerprint, while only ~2/(w+1) of grams are kept.
+    *
+    * Everything is pure column expressions — each document's grams,
+    * window minima and dedup happen INSIDE its own row (one
+    * `transform`/`array_min` pipeline, no shuffle until the caller
+    * aggregates), so the operator scales as a map over the corpus.
+    * The gram hash is the md5 recipe shared with [[tokenHash]], so
+    * external SQL engines replicate fingerprints bit-for-bit.
+    * Documents shorter than k + w − 1 chars emit nothing.
+    *
+    * @return (id, pos, fp) — 1-based gram position and 60-bit hash */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val text = col(textCol)
+    val nGrams = length(text) - (k - 1)
+    // struct(h, -pos): lexicographic array_min = (min hash, then max
+    // position) — the SWA rightmost-tie rule
+    val grams = transform(sequence(lit(1), nGrams), i =>
+      struct(tokenHash(text.substr(i, lit(k))).as("h"),
+        (-i).as("negpos")))
+    val fps = array_distinct(
+      transform(sequence(lit(1), nGrams - (w - 1)), i =>
+        array_min(slice(grams, i, lit(w)))))
+    df.where(length(text) >= k + w - 1)
+      .select(col(idCol).as("id"), explode(fps).as("f"))
+      .select(col("id"), (-col("f.negpos")).as("pos"),
+        col("f.h").as("fp"))
+  }
+
+  /** Near-duplicate pairs by shared winnowing fingerprints — the
+    * MOSS-style match step: fingerprints appearing in more than
+    * `maxDocFreq` documents are dropped (boilerplate/stop-gram
+    * removal — also the skew guard: the join key's fan-out is capped
+    * at maxDocFreq), the rest equi-join on the fingerprint value, and
+    * a pair survives with `shared` ≥ minShared distinct fingerprints.
+    * Never all-pairs: complexity is Σ per-fp (≤maxDocFreq)² over the
+    * rare fingerprints. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int): DataFrame = {
+    // consumed three times (doc-freq filter + both join sides) —
+    // cache the fingerprint pass, released via the session registry
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct().persist()
+    graft.engine.Caches.register(df.sparkSession,
+      () => { fps.unpersist(false); () })
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct("id").as("ndocs"))
+      .where(col("ndocs") <= maxDocFreq)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Exact dedup summary per group column: documents vs distinct
     * texts (md5 content hash). */
   def exactDedupSummary(df: DataFrame, groupCol: String,
