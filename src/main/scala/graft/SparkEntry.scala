@@ -52,6 +52,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, sf) => GQ.saltedAgg(s, sf)),
     "q_sessionize" -> ((s, sf) => GQ.sessionize(s, sf)),
     "q_rollup_pricing" -> ((s, sf) => GQ.rollupPricing(s, sf)),
+    "q_approx_distinct" -> ((s, sf) => GQ.approxDistinct(s, sf)),
     "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
     "q_ivf_trained" -> ((s, sf) => DQ.ivfTrained(s, sf)),
     "q_ivf_k256" -> ((s, sf) => DQ.ivfK256(s, sf)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_salted_agg" -> GQ.saltedAggSql,
     "q_sessionize" -> GQ.sessionizeSql,
     "q_rollup_pricing" -> GQ.rollupPricingSql,
+    "q_approx_distinct" -> GQ.approxDistinctSql,
     "q_ivf_topk" -> DQ.ivfTopKSql,
     "q_ivf_trained" -> DQ.ivfTrainedSql,
     "q_ivf_k256" -> DQ.ivfK256Sql,

@@ -31,6 +31,30 @@ object GenericQueries {
       .withColumn("avg_qty", col("sum_qty") / col("cnt"))
   }
 
+  /** HLL++ approximate distinct (`approx_count_distinct`) — the
+    * mergeable map-side scale path next to the exact
+    * `countDistinct` (A7): register maxima merge commutatively, so
+    * the estimate is partitioning-independent and deterministic for
+    * a given dataset, but its VALUE is engine-specific — pinned via
+    * the bounds-check oracle pattern (like the GK percentile query):
+    * the exact counts hash-compare, the estimate asserts its rsd
+    * envelope in-query, and DuckDB asserts `true`. */
+  def approxDistinct(spark: SparkSession, sf: String): DataFrame = {
+    val li = t(spark, sf, "lineitem")
+    li.groupBy("l_returnflag").agg(
+      countDistinct("l_partkey").as("n_exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("appx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("appx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.15).as("within_bounds"))
+  }
+
+  val approxDistinctSql: String = """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+  true AS within_bounds
+FROM lineitem GROUP BY 1"""
+
   val aggPricingSql: String = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
