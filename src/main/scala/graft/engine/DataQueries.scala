@@ -79,7 +79,14 @@ SELECT * FROM (
     * range + length filter — DuckDB's range() can't be lateral). */
   private def winnowSelCte: String = s"""
 WITH d AS (
-  SELECT doc_id, text FROM documents
+  -- positions come from a constant range (DuckDB range() can't be
+  -- lateral); fail LOUDLY if a doc ever exceeds it rather than
+  -- silently truncating the oracle's gram set
+  SELECT doc_id,
+    CASE WHEN len(text) > 100000
+      THEN error('winnow oracle: document exceeds the position range')
+      ELSE text END AS text
+  FROM documents
   WHERE doc_id < $WinnowDocCap AND len(text) >= ${WinnowK + WinnowW - 1}
 ),
 g AS (

@@ -182,13 +182,16 @@ object TextOps {
     * aggregates), so the operator scales as a map over the corpus.
     * The gram hash is the md5 recipe shared with [[tokenHash]], so
     * external SQL engines replicate fingerprints bit-for-bit.
-    * Documents shorter than k + w − 1 chars emit nothing.
+    * Documents shorter than k + w − 1 chars emit nothing; longer than
+    * `maxChars` are truncated (the per-row gram array is O(chars) —
+    * an unbounded multi-megabyte document would otherwise materialize
+    * millions of structs inside one row's evaluation).
     *
     * @return (id, pos, fp) — 1-based gram position and 60-bit hash */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
+      k: Int, w: Int, maxChars: Int = 100000): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val text = col(textCol)
+    val text = substring(col(textCol), 1, maxChars)
     val nGrams = length(text) - (k - 1)
     // struct(h, -pos): lexicographic array_min = (min hash, then max
     // position) — the SWA rightmost-tie rule
@@ -213,15 +216,16 @@ object TextOps {
     * Never all-pairs: complexity is Σ per-fp (≤maxDocFreq)² over the
     * rare fingerprints. */
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Int, maxDocFreq: Int): DataFrame = {
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int,
+      maxChars: Int = 100000): DataFrame = {
     // consumed three times (doc-freq filter + both join sides) —
     // cache the fingerprint pass, released via the session registry
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, maxChars)
       .select(col("id"), col("fp")).distinct().persist()
     graft.engine.Caches.register(df.sparkSession,
       () => { fps.unpersist(false); () })
     val rare = fps.groupBy("fp")
-      .agg(countDistinct("id").as("ndocs"))
+      .agg(count(lit(1)).as("ndocs")) // fps is distinct on (id, fp)
       .where(col("ndocs") <= maxDocFreq)
       .select("fp")
     val kept = fps.join(rare, Seq("fp"))
