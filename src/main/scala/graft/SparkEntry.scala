@@ -64,6 +64,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
     "q_winnow_fps" -> ((s, sf) => DQ.winnowFps(s, sf)),
     "q_winnow_pairs" -> ((s, sf) => DQ.winnowPairs(s, sf)),
+    "q_dedup_components" -> ((s, sf) => DQ.dedupComponents(s, sf)),
     "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
     "q_token_stats" -> ((s, sf) => DQ.tokenStats(s, sf)),
     "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_minhash_lsh" -> DQ.minhashLshSql,
     "q_winnow_fps" -> DQ.winnowFpsSql,
     "q_winnow_pairs" -> DQ.winnowPairsSql,
+    "q_dedup_components" -> DQ.dedupComponentsSql,
     "q_simhash" -> DQ.simhash16Sql,
     "q_token_stats" -> DQ.tokenStatsSql,
     "q_quality_scores" -> DQ.qualityScoresSql,

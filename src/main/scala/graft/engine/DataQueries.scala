@@ -133,6 +133,47 @@ FROM kept a JOIN kept b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
 
+  /** Dedup CLUSTERING over the winnowing near-dup pairs: connected
+    * components by hash-min label propagation, canonical = the
+    * component's minimum doc id. The oracle recomputes components via
+    * a recursive reachability CTE — completely different algorithm,
+    * same fixpoint. */
+  def dedupComponents(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+      .where(col("doc_id") < WinnowDocCap)
+    val pairs = TextOps.winnowNearDupPairs(docs, "doc_id", "text",
+      WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf)
+    graft.operators.Dedup.dedupClusters(
+      docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("comp"), col("is_canonical"))
+  }
+
+  val dedupComponentsSql: String =
+    winnowSelCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+docfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (SELECT fp FROM docfp GROUP BY fp
+         HAVING count(*) <= $WinnowMaxDf),
+kept AS (SELECT * FROM docfp WHERE fp IN (SELECT fp FROM rare)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT doc_id AS id FROM documents
+          WHERE doc_id < $WinnowDocCap),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+)
+SELECT n.id AS doc_id, c.comp, (n.id = c.comp) AS is_canonical
+FROM nodes n
+JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) c
+  ON c.id = n.id"""
+
   def minhashLsh(spark: SparkSession, sf: String): DataFrame =
     TextOps.minhashDedup(t(spark, sf, "documents"), "doc_id", "text",
       MinHashNum, MinHashBands, MinHashJaccard)
