@@ -35,6 +35,8 @@ object SparkEntry {
     "q_knn_zones" -> ((s, sf) => EQ.knnZones(s, sf)),
     "q_tile_stats" -> ((s, _) => EQ.tileStats(s)),
     "q_image_resize" -> ((s, _) => EQ.imageResize(s)),
+    "q_image_dhash" -> ((s, _) => EQ.imageDhash(s)),
+    "q_image_neardup" -> ((s, _) => EQ.imageNearDup(s)),
     // generic relational operators
     "q_agg_pricing" -> ((s, sf) => GQ.aggPricing(s, sf)),
     "q_join_nation_rev" -> ((s, sf) => GQ.joinNationRevenue(s, sf)),
@@ -104,6 +106,8 @@ object SparkEntry {
     "q_knn_zones" -> EQ.knnZonesSql,
     "q_tile_stats" -> EQ.tileStatsSql,
     "q_image_resize" -> EQ.imageResizeSql,
+    "q_image_dhash" -> EQ.imageDhashSql,
+    "q_image_neardup" -> EQ.imageNearDupSql,
     "q_agg_pricing" -> GQ.aggPricingSql,
     "q_join_nation_rev" -> GQ.joinNationRevenueSql,
     "q_anti_join" -> GQ.antiCustomersNoOrdersSql,

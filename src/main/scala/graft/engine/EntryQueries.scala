@@ -717,4 +717,74 @@ SELECT printf('tile_%04d_%04d', gr // 16, gc // 16) AS image_id,
   CAST(COUNT(*) AS BIGINT) AS n_px,
   SUM(v) AS sum_px
 FROM px WHERE gr % 2 = 0 AND gc % 2 = 0 GROUP BY 1"""
+
+  /** 56-bit perceptual dHash per tile (decode → 8×8 downsample →
+    * horizontal-gradient sign bits) — the image-dedup primitive,
+    * computed entirely inside each tile's row. The oracle recomputes
+    * every bit from the pixel formula with integer shifts. */
+  def imageDhash(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.tiles(spark, grid)
+    val px = graft.operators.ImageOps.pixels(col("bytes"), col("fmt"))
+    tiles.select(col("image_id"),
+      graft.operators.ImageOps.dHash(px, grid.tileW, grid.tileH, 2)
+        .as("dhash"))
+  }
+
+  /** Shared dhash CTE: per-tile hash from the pixel formula. Bit i
+    * (row-major over the 8×7 neighbor pairs, MSB first) compares
+    * small(r,c) < small(r,c+1) on the 2×-downsampled tile. */
+  private val dhashCte: String = s"""
+WITH px AS (
+  SELECT gr, gc, ${Synth.valueSql()} AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+),
+small AS (
+  SELECT gr // 16 AS tr, gc // 16 AS tc,
+    (gr % 16) // 2 AS r, (gc % 16) // 2 AS c, v
+  FROM px WHERE gr % 2 = 0 AND gc % 2 = 0
+),
+bits AS (
+  SELECT l.tr, l.tc, l.r, l.c,
+    CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS bit
+  FROM small l JOIN small rr
+    ON rr.tr = l.tr AND rr.tc = l.tc AND rr.r = l.r AND rr.c = l.c + 1
+  WHERE l.c < 7
+),
+dh AS (
+  SELECT printf('tile_%04d_%04d', tr, tc) AS image_id,
+    CAST(SUM(CAST(bit AS BIGINT) << (55 - (r * 7 + c))) AS BIGINT)
+      AS dhash
+  FROM bits GROUP BY 1
+)"""
+
+  val imageDhashSql: String = s"""$dhashCte
+SELECT image_id, dhash FROM dh"""
+
+  /** Image near-dup pairs by dHash Hamming distance through the LSH
+    * band join: the tile set is doubled with exact copies (`~dup`
+    * ids), so every tile must find its duplicate (Hamming 0) plus any
+    * true formula collisions; the oracle brute-forces all pairs —
+    * agreement also certifies the band join's ≤ bands−1 Hamming
+    * guarantee at this threshold. */
+  def imageNearDup(spark: SparkSession): DataFrame = {
+    val withDh = imageDhash(spark)
+    val dup = withDh.select(
+      concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash"))
+    graft.operators.ImageOps.dhashNearDupPairs(
+      withDh.unionByName(dup), "image_id", "dhash",
+      bands = 4, bitsPerBand = 14, maxHamming = 2)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+        .as("hamming"))
+  }
+
+  val imageNearDupSql: String = s"""$dhashCte,
+all_ids AS (
+  SELECT image_id, dhash FROM dh
+  UNION ALL SELECT image_id || '~dup', dhash FROM dh
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2"""
 }

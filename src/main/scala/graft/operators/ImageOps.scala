@@ -41,6 +41,59 @@ object ImageOps {
     })
   }
 
+  /** Difference hash (dHash) of a tile — the perceptual-hash image
+    * dedup primitive: downsample (nearest-neighbor) to
+    * (w/factor)×(h/factor), then one bit per horizontal neighbor pair
+    * (`1` iff left < right), packed MSB-first in row-major scan
+    * order. Robust to brightness/contrast shifts (only ORDER of
+    * neighbors matters), cheap, and a pure column expression — the
+    * whole hash is one fold inside the row, codegen-friendly, no
+    * shuffle. At 8×8 it is the classic 56-bit dHash. */
+  def dHash(px: Column, w: Int, h: Int, factor: Int): Column = {
+    val ow = w / factor
+    val oh = h / factor
+    require(ow >= 2 && oh >= 1, s"downsampled grid too small: ${ow}x$oh")
+    require(oh * (ow - 1) <= 63, "dhash must fit a long")
+    val small = resizeNearest(px, w, h, factor)
+    val nbits = oh * (ow - 1)
+    aggregate(sequence(lit(0), lit(nbits - 1)), lit(0L), (acc, i) => {
+      val r = floor(i / lit(ow - 1)).cast("int")
+      val c = (i % (ow - 1)).cast("int")
+      val left = element_at(small, r * ow + c + 1)
+      val right = element_at(small, r * ow + c + 2)
+      acc * 2 + when(left < right, lit(1L)).otherwise(lit(0L))
+    })
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance ≤
+    * `maxHamming`, found through an LSH band join (the SRP-banded
+    * pattern applied to perceptual bits): the hash splits into
+    * `bands` disjoint bit bands and a pair is a candidate iff ANY
+    * band matches exactly — by pigeonhole every pair within
+    * Hamming ≤ bands−1 is guaranteed caught, and candidates shuffle
+    * on the band key, never the all-pairs space. Exact `bit_count`
+    * filter afterwards. */
+  def dhashNearDupPairs(df: DataFrame, idCol: String, dhCol: String,
+      bands: Int, bitsPerBand: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1)
+    val mask = (1L << bitsPerBand) - 1
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col(dhCol), b * bitsPerBand).bitwiseAND(lit(mask))
+          .as("bits"))
+    }: _*)
+    val a = df.select(col(idCol).as("id_a"), col(dhCol).as("dh_a"),
+      explode(bandKeys).as("key"))
+    val b = df.select(col(idCol).as("id_b"), col(dhCol).as("dh_b"),
+      explode(bandKeys).as("key"))
+    a.join(b, Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
   /** Per-tile decode + stats over a tile table (the library surface
     * for "decode / feature-extract" pipelines). */
   def tileStats(tiles: DataFrame, nodata: Double): DataFrame = {
