@@ -122,16 +122,25 @@ FROM sel GROUP BY doc_id"""
       WinnowMinShared, WinnowMaxDf)
       .select(col("id_a"), col("id_b"), col("shared"))
 
-  val winnowPairsSql: String = s"""$winnowSelCte,
+  /** Winnow near-dup pair CTEs layered on [[winnowSelCte]] — ONE
+    * definition shared by the pairs and components oracles so the
+    * two can never silently diverge. */
+  private def winnowPairsCte: String = s""",
 docfp AS (SELECT DISTINCT doc_id, fp FROM sel),
 rare AS (SELECT fp FROM docfp GROUP BY fp
          HAVING count(*) <= $WinnowMaxDf),
-kept AS (SELECT * FROM docfp WHERE fp IN (SELECT fp FROM rare))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  CAST(count(*) AS BIGINT) AS shared
-FROM kept a JOIN kept b USING (fp)
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
+kept AS (SELECT * FROM docfp WHERE fp IN (SELECT fp FROM rare)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(count(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+)"""
+
+  val winnowPairsSql: String =
+    s"""$winnowSelCte$winnowPairsCte
+SELECT id_a, id_b, shared FROM pairs"""
 
   /** Dedup CLUSTERING over the winnowing near-dup pairs: connected
     * components by hash-min label propagation, canonical = the
@@ -149,17 +158,8 @@ GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
   }
 
   val dedupComponentsSql: String =
-    winnowSelCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
-docfp AS (SELECT DISTINCT doc_id, fp FROM sel),
-rare AS (SELECT fp FROM docfp GROUP BY fp
-         HAVING count(*) <= $WinnowMaxDf),
-kept AS (SELECT * FROM docfp WHERE fp IN (SELECT fp FROM rare)),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM kept a JOIN kept b USING (fp)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
-),
+    winnowSelCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      winnowPairsCte + s""",
 e AS (SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
 nodes AS (SELECT doc_id AS id FROM documents

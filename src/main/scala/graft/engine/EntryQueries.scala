@@ -768,7 +768,11 @@ SELECT image_id, dhash FROM dh"""
     * agreement also certifies the band join's ≤ bands−1 Hamming
     * guarantee at this threshold. */
   def imageNearDup(spark: SparkSession): DataFrame = {
-    val withDh = imageDhash(spark)
+    // dhash feeds four plan branches (both union arms × both join
+    // sides) — hash each tile once, not four times
+    val withDh = imageDhash(spark).persist()
+    graft.engine.Caches.register(spark,
+      () => { withDh.unpersist(false); () })
     val dup = withDh.select(
       concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash"))
     graft.operators.ImageOps.dhashNearDupPairs(

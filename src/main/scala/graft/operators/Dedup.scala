@@ -33,14 +33,23 @@ object Dedup {
     *
     * @param nodes one column `id`
     * @param edges columns `id_a`, `id_b` (undirected, any direction)
-    * @param maxIter hard cap on propagation rounds (diameter bound) */
+    * @param maxIter hard cap on propagation rounds; with pointer
+    *   jumping convergence needs ~log₂(longest path) rounds, so the
+    *   default covers any graph that fits in a cluster. Exceeding it
+    *   THROWS — partially-propagated labels would silently split
+    *   components and let duplicates survive dedup. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 64): DataFrame = {
+    val spark = nodes.sparkSession
+    // consumed once per round: cache the (possibly expensive) edge
+    // producer's output instead of re-running it every round
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist()
+    graft.engine.Caches.register(spark,
+      () => { adj.unpersist(false); () })
 
-    val spark = nodes.sparkSession
     // ITERATIVE-DATAFRAME TRAP: building round N's frame on round
     // N-1's keeps growing one logical plan, and Catalyst re-analyzes
     // the whole chain every round — planning time explodes after a
@@ -55,6 +64,9 @@ object Dedup {
     labels.count()
     var iter = 0
     var converged = false
+    // on ANY mid-loop failure, release whatever this loop pinned —
+    // a failed job must not strand round caches in the block manager
+    try {
     while (!converged && iter < maxIter) {
       // 1. hash-min over neighbors
       val nbr = adj
@@ -89,11 +101,22 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    // hand the result over materialized-and-released like the rest of
-    // the engine: component count is node-cardinality here only at
-    // the caller's scale choice, so keep it distributed — just drop
-    // the loop's last cache once consumed downstream
-    graft.engine.Caches.register(nodes.sparkSession, {
+    } catch {
+      case e: Throwable =>
+        try labels.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    if (!converged) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "partially-propagated labels would silently split components")
+    }
+    // the result stays distributed (node-cardinality — unbounded at
+    // the caller's scale choice); its cache is dropped via the
+    // session registry once the caller has consumed it
+    graft.engine.Caches.register(spark, {
       val last = labels
       () => { last.unpersist(false); () }
     })
