@@ -10,8 +10,35 @@ import scala.jdk.CollectionConverters._
   * is the JVM's. */
 object BenchTelemetry {
   final case class Cpu(total: Long, steal: Long, idle: Long)
+
+  /** @param heapPeakMb max heap-pool usage observed during the rep
+    *   (pool peaks reset at rep start) — how close the allocation
+    *   rate pushes the heap to its cap
+    * @param heapAfterGcMb heap used after the post-rep full GC — the
+    *   LIVE set; near-cap values mean GC pauses are memory pressure,
+    *   not allocation-rate noise */
   final case class Rep(wall: Double, gcMs: Long, stealPct: Double,
-      busyPct: Double)
+      busyPct: Double, heapPeakMb: Long = -1, heapAfterGcMb: Long = -1)
+
+  def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+
+  def heapMaxMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getMax >> 20
+
+  private def heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+
+  def resetHeapPeaks(): Unit =
+    try heapPools.foreach(_.resetPeakUsage())
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  def heapPeakMb(): Long =
+    try heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+    catch { case scala.util.control.NonFatal(_) => -1L }
 
   def cpu(): Option[Cpu] =
     try {
@@ -28,24 +55,33 @@ object BenchTelemetry {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
 
-  /** Run `body`, returning its wall seconds plus the interval's GC
-    * and host-CPU deltas. */
+  /** Run `body`, returning its wall seconds plus the interval's GC,
+    * host-CPU and heap-peak deltas. `heapAfterGcMb` stays unset —
+    * callers fill it via [[afterGc]] once they've released caches and
+    * forced a full GC, so it measures the true live set. */
   def timed(body: => Unit): Rep = {
+    resetHeapPeaks()
     val c0 = cpu(); val g0 = gcMillis(); val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
     val gc = gcMillis() - g0
+    val peak = heapPeakMb()
     val (steal, busy) = (for (a <- c0; b <- cpu()) yield {
       val dt = math.max(1L, b.total - a.total)
       (100.0 * (b.steal - a.steal) / dt,
         100.0 * ((b.total - b.idle) - (a.total - a.idle)) / dt)
     }).getOrElse((-1.0, -1.0))
-    Rep(wall, gc, steal, busy)
+    Rep(wall, gc, steal, busy, peak)
   }
+
+  /** Stamp the post-drain post-full-GC live set onto a rep. */
+  def afterGc(r: Rep): Rep = r.copy(heapAfterGcMb = heapUsedMb())
 
   def json(r: Rep): String =
     f"""{"wall":${r.wall}%.3f,"gc_ms":${r.gcMs},""" +
-      f""""steal_pct":${r.stealPct}%.2f,"busy_pct":${r.busyPct}%.2f}"""
+      f""""steal_pct":${r.stealPct}%.2f,"busy_pct":${r.busyPct}%.2f,""" +
+      f""""heap_peak_mb":${r.heapPeakMb},""" +
+      f""""heap_after_gc_mb":${r.heapAfterGcMb}}"""
 
   def jsonArr(rs: Seq[Rep]): String =
     rs.map(json).mkString("[", ",", "]")
@@ -71,14 +107,15 @@ object BenchLevel {
       // ContextCleaner's reference queue between reps
       graft.engine.Caches.drain(s)
       System.gc()
-      r
+      BenchTelemetry.afterGc(r)
     }
     val cold = rep()
     val warm = (1 to reps).map(_ => rep())
     s.stop()
     // scalastyle:off println
     println("BENCHLEVEL" +
-      s"""{"cold":${BenchTelemetry.json(cold)},""" +
+      s"""{"heap_max_mb":${BenchTelemetry.heapMaxMb()},""" +
+      s""""cold":${BenchTelemetry.json(cold)},""" +
       s""""reps":${BenchTelemetry.jsonArr(warm)}}""")
     // scalastyle:on println
   }
@@ -100,7 +137,7 @@ object BenchPaths {
       val r = BenchTelemetry.timed(body)
       graft.engine.Caches.drain(s)
       System.gc()
-      r
+      BenchTelemetry.afterGc(r)
     }
     val warmup = t { Bench.runZonalOnly(s, root); () }
     val direct = scala.collection.mutable.ArrayBuffer

@@ -17,7 +17,16 @@ object SparkEntry {
   /** Raw query registry — wrapped by [[queries]] with a cache drain
     * so a harness looping over queries in one session releases the
     * previous query's registered caches (graft.engine.Caches) before
-    * the next one runs. */
+    * the next one runs.
+    *
+    * CONTRACT: construct a query's frame and materialize it BEFORE
+    * constructing the next one (the driver's harness and graft.Verify
+    * both do). A caller that constructs several frames up front will
+    * see earlier frames' persists drained at the next construction —
+    * results stay correct (deterministic recompute), only the caching
+    * is lost. Such callers should use the un-wrapped operators and
+    * call Caches.drain(spark) themselves after consuming each result
+    * (the pattern graft.Bench's query loop models). */
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame]
     = Map(
     // zonal-statistics engine (reference core)
@@ -64,6 +73,7 @@ object SparkEntry {
     "q_hash_sample" -> ((s, sf) => DQ.hashSample(s, sf)),
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
+    "q_minhash_clusters" -> ((s, sf) => DQ.minhashClusters(s, sf)),
     "q_winnow_fps" -> ((s, sf) => DQ.winnowFps(s, sf)),
     "q_winnow_pairs" -> ((s, sf) => DQ.winnowPairs(s, sf)),
     "q_dedup_components" -> ((s, sf) => DQ.dedupComponents(s, sf)),
@@ -133,6 +143,7 @@ object SparkEntry {
     "q_hash_sample" -> DQ.hashSampleSql,
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,
+    "q_minhash_clusters" -> DQ.minhashClustersSql,
     "q_winnow_fps" -> DQ.winnowFpsSql,
     "q_winnow_pairs" -> DQ.winnowPairsSql,
     "q_dedup_components" -> DQ.dedupComponentsSql,

@@ -28,34 +28,42 @@ object Caches {
     * Releasing early only costs recompute. */
   val MaxPending = 8
 
-  private val reg = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.Queue[() => Unit]]()
+  // WeakHashMap so a session that is registered but never drained
+  // can't be pinned by the registry forever; all map access runs
+  // under the map's monitor so a register racing a drain can never
+  // slip a closure into a queue drain already detached (that closure
+  // would never run — exactly the leak this registry exists to fix).
+  // Release closures execute under the monitor too: they are cheap
+  // (unpersist/destroy bookkeeping) and contention here is a few
+  // calls per query.
+  private val reg = new java.util.WeakHashMap[
+    SparkSession, java.util.ArrayDeque[() => Unit]]()
 
-  def register(spark: SparkSession, release: () => Unit): Unit = {
-    val q = reg.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]())
-    q.add(release)
-    while (q.size() > MaxPending) {
-      val r = q.poll()
-      if (r != null)
-        try r() catch { case scala.util.control.NonFatal(_) => () }
+  private def run(r: () => Unit): Unit =
+    try r() catch { case scala.util.control.NonFatal(_) => () }
+
+  def register(spark: SparkSession, release: () => Unit): Unit =
+    reg.synchronized {
+      var q = reg.get(spark)
+      if (q == null) {
+        q = new java.util.ArrayDeque[() => Unit]()
+        reg.put(spark, q)
+      }
+      q.add(release)
+      while (q.size() > MaxPending) run(q.poll())
     }
-  }
 
   /** Release everything registered against `spark`. */
-  def drain(spark: SparkSession): Unit = {
+  def drain(spark: SparkSession): Unit = reg.synchronized {
     val q = reg.remove(spark)
     if (q != null) {
       var r = q.poll()
-      while (r != null) {
-        try r() catch { case scala.util.control.NonFatal(_) => () }
-        r = q.poll()
-      }
+      while (r != null) { run(r); r = q.poll() }
     }
   }
 
   /** Number of pending releases (test hook). */
-  def pending(spark: SparkSession): Int = {
+  def pending(spark: SparkSession): Int = reg.synchronized {
     val q = reg.get(spark)
     if (q == null) 0 else q.size()
   }

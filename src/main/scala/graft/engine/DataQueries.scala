@@ -221,6 +221,111 @@ SELECT * FROM (
 ) WHERE jaccard >= $MinHashJaccard"""
   }
 
+  // ---- MinHash dedup clusters over a hot-bucket fixture ----
+
+  private val MinHashClusterJ = 0.5
+  private val MinHashClusterCap = 16
+
+  /** Deterministic hot-bucket fixture: a 10³-copy exact-duplicate
+    * cluster (the boilerplate class that makes un-guarded LSH band
+    * joins quadratic), 5 near-dup variants × 10 copies, and 100
+    * unique singletons — 1150 docs, 106 distinct contents. */
+  def clusterDocs(spark: SparkSession): DataFrame =
+    spark.range(0, 1150).select(col("id").as("doc_id"),
+      when(col("id") < 1000, lit("alpha beta gamma delta epsilon zeta"))
+        .when(col("id") < 1050,
+          concat(lit("alpha beta gamma delta epsilon var"),
+            (col("id") % 5).cast("string")))
+        .otherwise(format_string(
+          "unique%d lorem%d ipsum%d dolor%d sit%d amet%d",
+          col("id"), col("id"), col("id"), col("id"), col("id"),
+          col("id"))).as("text"))
+
+  /** Corpus-scale dedup clustering over the hot-bucket fixture:
+    * exact-content collapse → banded rep candidates (per-bucket cap)
+    * → Jaccard verify → connected components → members inherit. The
+    * candidate join sees 106 representatives, never the 10³-cluster's
+    * ~5·10⁵ pairs (TextOpsSpec pins the candidate count). */
+  def minhashClusters(spark: SparkSession, sf: String): DataFrame =
+    TextOps.minhashDedupClusters(clusterDocs(spark), "doc_id", "text",
+      MinHashNum, MinHashBands, MinHashClusterJ, MinHashClusterCap)
+      .select(col("id").as("doc_id"), col("comp"), col("is_canonical"))
+
+  val minhashClustersSql: String = {
+    val sigCols = (0 until MinHashNum).map(k =>
+      s"min((hm*${TextOps.minhashA(k)}+${TextOps.minhashB(k)})%${TextOps.MinHashP}) AS sig$k")
+      .mkString(",\n    ")
+    val rows = MinHashNum / MinHashBands
+    val bandSelects = (0 until MinHashBands).map { b =>
+      val sigs = (0 until rows).map(r => s"sig${b * rows + r}").mkString(", ")
+      s"SELECT id, concat_ws('_', $b, $sigs) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH RECURSIVE docs AS (
+  SELECT CAST(d AS BIGINT) AS doc_id,
+    CASE WHEN d < 1000 THEN 'alpha beta gamma delta epsilon zeta'
+         WHEN d < 1050 THEN 'alpha beta gamma delta epsilon var'
+           || CAST(d % 5 AS VARCHAR)
+         ELSE printf('unique%d lorem%d ipsum%d dolor%d sit%d amet%d',
+           d, d, d, d, d, d)
+    END AS text
+  FROM range(0, 1150) t(d)
+),
+keyed AS (
+  SELECT doc_id, array_to_string(list_sort(list_distinct(
+    regexp_split_to_array(trim(text), '\\s+'))), ' ') AS ckey
+  FROM docs
+),
+grp AS (SELECT ckey, min(doc_id) AS rid FROM keyed GROUP BY 1),
+members AS (SELECT k.doc_id AS id, g.rid
+  FROM keyed k JOIN grp g USING (ckey)),
+reps AS (SELECT d.doc_id AS id, d.text FROM docs d
+  JOIN members m ON m.id = d.doc_id AND m.rid = d.doc_id),
+toks AS (SELECT id, unnest(list_distinct(
+    regexp_split_to_array(trim(text), '\\s+'))) AS tok FROM reps),
+h AS (SELECT id, tok, (${hex2dec("md5(tok)")} % ${TextOps.MinHashP}) AS hm
+  FROM toks),
+sig AS (SELECT id,
+    $sigCols
+  FROM h GROUP BY id),
+bands AS (
+  $bandSelects
+),
+okbands AS (SELECT band_key FROM bands GROUP BY 1
+  HAVING count(*) <= $MinHashClusterCap),
+kept AS (SELECT b.* FROM bands b JOIN okbands USING (band_key)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b ON a.band_key = b.band_key AND a.id < b.id),
+sizes AS (SELECT id, CAST(count(DISTINCT tok) AS BIGINT) AS n
+  FROM toks GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c JOIN h ta ON ta.id = c.id_a
+  JOIN h tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+      CAST(COALESCE(i.i, 0) AS DOUBLE) /
+        CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS j
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+  ) WHERE j >= $MinHashClusterJ
+),
+e AS (SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges),
+rnodes AS (SELECT DISTINCT rid AS id FROM members),
+reach AS (
+  SELECT id, id AS r FROM rnodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+SELECT m.id AS doc_id, c.comp, (m.id = c.comp) AS is_canonical
+FROM members m JOIN comp c ON c.id = m.rid"""
+  }
+
   // ---- SimHash (16-bit, md5-derived, SQL-replicable) ----
   def simhash16(spark: SparkSession, sf: String): DataFrame = {
     val hashes = TextOps.tokenHashes(t(spark, sf, "documents"),

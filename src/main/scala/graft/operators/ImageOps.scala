@@ -74,24 +74,75 @@ object ImageOps {
     * on the band key, never the all-pairs space. Exact `bit_count`
     * filter afterwards. */
   def dhashNearDupPairs(df: DataFrame, idCol: String, dhCol: String,
-      bands: Int, bitsPerBand: Int, maxHamming: Int): DataFrame = {
+      bands: Int, bitsPerBand: Int, maxHamming: Int,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1)
+    // pigeonhole: maxHamming differing bits can touch at most
+    // maxHamming bands, so some band matches exactly ONLY when
+    // maxHamming <= bands - 1 — past that the join silently loses
+    // recall, so refuse instead
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands for " +
+        s"the pigeonhole recall guarantee, got $bands")
     val mask = (1L << bitsPerBand) - 1
-    val bandKeys = array((0 until bands).map { b =>
+    val bandKeysArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col(dhCol), b * bitsPerBand).bitwiseAND(lit(mask))
+        shiftright(col("dh"), b * bitsPerBand).bitwiseAND(lit(mask))
           .as("bits"))
     }: _*)
-    val a = df.select(col(idCol).as("id_a"), col(dhCol).as("dh_a"),
-      explode(bandKeys).as("key"))
-    val b = df.select(col(idCol).as("id_b"), col(dhCol).as("dh_b"),
-      explode(bandKeys).as("key"))
-    a.join(b, Seq("key"))
-      .where(col("id_a") < col("id_b"))
+    // HOT-BUCKET GUARD: blank/solid-color frames — the dominant
+    // duplicate class in web image corpora — give m tiles ONE dhash
+    // value and would meet as m² candidate rows inside each band
+    // bucket. Collapse to DISTINCT hash values first (Hamming distance
+    // depends only on the values), band-join the values, and re-expand
+    // member pairs afterwards; the expansion is output-sized, which is
+    // inherent to the all-pairs API. An optional per-bucket frequency
+    // cap (`maxBandFreq`, over distinct VALUES) guards the residual
+    // adversarial case; dropping a bucket is reported loudly because
+    // it is a recall decision.
+    val members = df.select(col(idCol).as("id"), col(dhCol).as("dh"))
+    val vals = members.select(col("dh")).distinct()
+    val banded0 = vals.select(col("dh"), explode(bandKeysArr).as("key"))
+    val banded =
+      if (maxBandFreq == Int.MaxValue) banded0
+      else {
+        val freq = banded0.groupBy("key").agg(count(lit(1)).as("n"))
+          .persist()
+        graft.engine.Caches.register(df.sparkSession,
+          () => { freq.unpersist(false); () })
+        val nDropped = freq.where(col("n") > maxBandFreq).count()
+        if (nDropped > 0)
+          System.err.println(s"[graft] dhash LSH: dropped $nDropped " +
+            s"band bucket(s) over maxBandFreq=$maxBandFreq — pairs " +
+            "joined ONLY through those buckets are not reported")
+        banded0.join(freq.where(col("n") <= maxBandFreq).select("key"),
+          Seq("key"))
+      }
+    val a = banded.select(col("key"), col("dh").as("dh_a"))
+    val b = banded.select(col("key"), col("dh").as("dh_b"))
+    // near-dup pairs among distinct VALUES (deduped across bands)
+    val valPairs = a.join(b, Seq("key"))
+      .where(col("dh_a") < col("dh_b"))
+      .select("dh_a", "dh_b").distinct()
       .withColumn("hamming",
-        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+    // cross-value expansion (each member pair appears exactly once:
+    // value pairs are distinct and the groups are disjoint, so no
+    // output-level distinct is needed)
+    val cross = valPairs
+      .join(members.select(col("dh").as("dh_a"), col("id").as("ma")),
+        Seq("dh_a"))
+      .join(members.select(col("dh").as("dh_b"), col("id").as("mb")),
+        Seq("dh_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    // intra-value pairs: identical hashes, Hamming exactly 0
+    val intra = members.select(col("dh"), col("id").as("id_a"))
+      .join(members.select(col("dh"), col("id").as("id_b")), Seq("dh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    intra.unionByName(cross)
   }
 
   /** Per-tile decode + stats over a tile table (the library surface

@@ -119,17 +119,25 @@ object TextOps {
     hashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: signatures banded `numBands` × `rowsPerBand`;
-    * docs sharing a band bucket become candidates. The band join is
-    * the scale path — candidates shuffle on the band key, never the
-    * full O(n²) pair space. */
-  def lshCandidatePairs(sig: DataFrame, numBands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bands = (0 until numBands).map { b =>
+  /** (id, band_key) rows of a signature frame: `numBands` bands of
+    * `rowsPerBand` signature values each, keyed "<band>_<sig>..<sig>". */
+  def bandKeys(sig: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    (0 until numBands).map { b =>
       val key = concat_ws("_", (lit(b) +:
         (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
       sig.select(col("id"), key.as("band_key"))
     }.reduce(_ unionByName _)
+
+  /** LSH candidate pairs: signatures banded `numBands` × `rowsPerBand`;
+    * docs sharing a band bucket become candidates. The band join is
+    * the scale path — candidates shuffle on the band key, never the
+    * full O(n²) pair space. NOTE: feed this DISTINCT contents (see
+    * [[contentGroups]]) — banding a corpus with exact-duplicate
+    * clusters makes m² candidates inside one bucket. */
+  def lshCandidatePairs(sig: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = bandKeys(sig, numBands, rowsPerBand)
     val l = bands.select(col("band_key"), col("id").as("id_a"))
     val r = bands.select(col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band_key"))
@@ -137,18 +145,72 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Full MinHash-LSH near-dedup: candidates via banding, verified
-    * with exact token-set Jaccard >= minJaccard. */
-  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, numBands: Int, minJaccard: Double): DataFrame = {
+  /** Canonical content key of a document's TOKEN SET: md5 of the
+    * sorted distinct tokens. Two documents with equal token sets have
+    * identical MinHash signatures AND identical Jaccard similarity to
+    * every third document, so one representative can stand for all of
+    * them in any signature-banded join. */
+  def tokenSetKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** (id, ckey, rid) per document: content key + the min-id
+    * REPRESENTATIVE of each exact-content group. The hot-bucket guard
+    * every LSH band join needs: a cluster of m exact duplicates shares
+    * every band bucket, so banding the raw corpus makes m² candidate
+    * rows inside one band key (boilerplate pages are the dominant
+    * duplicate class at corpus scale — this is the classic 100 TB
+    * dedup scale-killer). Band-joining the representatives makes
+    * candidates scale with DISTINCT contents instead. */
+  private def contentGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ckey")
+    df.select(col(idCol).as("id"), tokenSetKey(col(textCol)).as("ckey"))
+      .withColumn("rid", min("id").over(w))
+  }
+
+  /** Verified near-dup pairs among `repDocs` (one doc per distinct
+    * content): LSH banding for candidates, exact token-set Jaccard
+    * >= minJaccard to confirm. Shared by [[minhashDedup]] and
+    * [[minhashDedupClusters]]; `capBands` optionally drops band
+    * buckets holding more than maxBandFreq docs (with the dropped
+    * count reported to the caller). */
+  private def repNearDupPairs(repDocs: DataFrame, numHashes: Int,
+      numBands: Int, minJaccard: Double,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    val spark = repDocs.sparkSession
     // the token-hash cache feeds four consumers of the RETURNED lazy
     // plan, so it cannot be unpersisted here; register it so loop
     // callers can drain between iterations (graft.engine.Caches)
-    val hashes = tokenHashes(df, idCol, textCol).persist()
-    graft.engine.Caches.register(df.sparkSession,
+    val hashes = tokenHashes(repDocs, "id", "text").persist()
+    graft.engine.Caches.register(spark,
       () => { hashes.unpersist(false); () })
     val sig = minhashSignature(hashes, numHashes)
-    val cand = lshCandidatePairs(sig, numBands, numHashes / numBands)
+    val bands = bandKeys(sig, numBands, numHashes / numBands)
+    val banded =
+      if (maxBandFreq == Int.MaxValue) bands
+      else {
+        // per-bucket frequency cap (the winnowing maxDocFreq guard,
+        // TextOps.winnowNearDupPairs): adversarial DISTINCT contents
+        // can still pile into one band bucket; cap it LOUDLY — a
+        // dropped bucket is a recall decision the operator must not
+        // make silently
+        val freq = bands.groupBy("band_key").agg(count(lit(1)).as("n"))
+          .persist()
+        graft.engine.Caches.register(spark,
+          () => { freq.unpersist(false); () })
+        val nDropped = freq.where(col("n") > maxBandFreq).count()
+        if (nDropped > 0)
+          System.err.println(s"[graft] minhash LSH: dropped $nDropped " +
+            s"band bucket(s) over maxBandFreq=$maxBandFreq — pairs " +
+            "joined ONLY through those buckets are not reported")
+        bands.join(freq.where(col("n") <= maxBandFreq)
+          .select("band_key"), Seq("band_key"))
+      }
+    val l = banded.select(col("band_key"), col("id").as("id_a"))
+    val r = banded.select(col("band_key"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val sizes = hashes.groupBy("id")
       .agg(countDistinct("tok").as("n_tok"))
     val inter = cand
@@ -163,6 +225,79 @@ object TextOps {
         (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Representative documents (one per distinct content, id = group
+    * min id) of `df` given its content groups. */
+  private def repDocsOf(df: DataFrame, idCol: String, textCol: String,
+      groups: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(groups.where(col("id") === col("rid")).select("id"), Seq("id"))
+
+  /** Full MinHash-LSH near-dedup: all (a<b) pairs with token-set
+    * Jaccard >= minJaccard that share an LSH band. Exact-content
+    * groups are collapsed to one representative BEFORE banding (see
+    * [[contentGroups]] — candidate volume scales with distinct
+    * contents, never m² per duplicate cluster) and member pairs are
+    * re-expanded afterwards; the expansion is output-sized, which is
+    * inherent to the all-pairs API — at corpus scale use
+    * [[minhashDedupClusters]], whose output is one row per document. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, minJaccard: Double): DataFrame = {
+    val members = contentGroups(df, idCol, textCol).persist()
+    graft.engine.Caches.register(df.sparkSession,
+      () => { members.unpersist(false); () })
+    val repPairs = repNearDupPairs(
+      repDocsOf(df, idCol, textCol, members),
+      numHashes, numBands, minJaccard)
+      .select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
+        col("jaccard"))
+    // cross-group expansion: every member pair inherits its rep
+    // pair's (identical) jaccard; least/greatest restores the id_a <
+    // id_b output order since member ids interleave across groups
+    val cross = repPairs
+      .join(members.select(col("rid").as("rid_a"), col("id").as("ma")),
+        Seq("rid_a"))
+      .join(members.select(col("rid").as("rid_b"), col("id").as("mb")),
+        Seq("rid_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // intra-group pairs are exact duplicates: jaccard exactly 1.0
+    val intra = members.select(col("ckey"), col("id").as("id_a"))
+      .join(members.select(col("ckey"), col("id").as("id_b")), Seq("ckey"))
+      .where(col("id_a") < col("id_b") && lit(1.0) >= minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    intra.unionByName(cross)
+  }
+
+  /** The corpus-scale dedup deliverable: one row per document with its
+    * near-dup CLUSTER id (connected component of the verified
+    * similarity graph) and the canonical flag (the component's min id
+    * survives; the rest are removable duplicates). Linear-shaped end
+    * to end: exact contents collapse to representatives, the banded
+    * candidate join runs over representatives with a loud per-bucket
+    * frequency cap, verified rep pairs feed
+    * [[graft.operators.Dedup.connectedComponents]] (O(log n) rounds),
+    * and members inherit their representative's component. Nothing is
+    * ever all-pairs — a 10⁶-copy boilerplate cluster costs 10⁶ rows,
+    * not 10¹². */
+  def minhashDedupClusters(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, minJaccard: Double,
+      maxBandFreq: Int): DataFrame = {
+    val spark = df.sparkSession
+    val members = contentGroups(df, idCol, textCol).persist()
+    graft.engine.Caches.register(spark,
+      () => { members.unpersist(false); () })
+    val repEdges = repNearDupPairs(
+      repDocsOf(df, idCol, textCol, members),
+      numHashes, numBands, minJaccard, maxBandFreq)
+    val repNodes = members.select(col("rid").as("id")).distinct()
+    val comps = graft.operators.Dedup.connectedComponents(
+      repNodes, repEdges.select("id_a", "id_b"))
+    members
+      .join(comps.select(col("id").as("rid"), col("comp")), Seq("rid"))
+      .select(col("id"), col("comp"),
+        (col("id") === col("comp")).as("is_canonical"))
   }
 
   // ---- Winnowing document fingerprints ----------------------------

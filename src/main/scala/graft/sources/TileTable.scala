@@ -25,15 +25,15 @@ import scala.jdk.CollectionConverters._
   *     `cell`, so the pushed `cell BETWEEN` predicates prune Parquet
   *     row groups via min/max stats inside each touched file.
   *
-  * Scale envelope of the single-JSON manifest: 10^12 tiles at ~10^6
-  * rows/file is ~10^6 file entries ≈ 10^2 MB of manifest — loadable
-  * on a driver and prunable in tens of milliseconds (the cover ranges
-  * are index-sorted and each file intersects via one binary search,
-  * O(files · log ranges) — see `TileTable.intersectFiles`). Beyond
-  * ~10^7 entries the next step is the Iceberg manifest-tree shape
-  * (manifest lists pointing at range-partitioned manifest shards)
-  * behind the same open/prune API; nothing downstream depends on the
-  * flat layout.
+  * Scale envelope: 10^12 tiles at ~10^6 rows/file is ~10^6 file
+  * entries ≈ 10^2 MB of per-file statistics — loadable on a driver
+  * and prunable in tens of milliseconds (the cover ranges are
+  * index-sorted and each file intersects via one binary search,
+  * O(files · log ranges) — see `TileTable.intersectFiles`). The file
+  * list is SEGMENTED (the Iceberg manifest-list shape): the small
+  * versioned head references immutable `seg/segment-*.json` files,
+  * so a streaming append's commit writes O(batch) bytes — one new
+  * segment + a new head — never a rewrite of the 10^6-entry list.
   *
   * Manifest COMMITS are versioned (`manifest-v<N>.json`, published
   * with an atomic conditional link — see the commit protocol notes on
@@ -48,20 +48,38 @@ final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
   * `(path, band)` with per-band nodata (`runner.py:264-265,295-296`). */
 final case class BandInfo(band: Int, nodata: Option[Double])
 
-/** @param committedBatches streaming-ingest batch ids already applied
-  *   to the table (one writer stream per table, the usual foreachBatch
-  *   contract). Carried through compaction, so replay detection
-  *   survives data files being rewritten into new generations.
-  *   BOUNDED: only the ids within [[TileTable.BatchIdWindow]] of the
-  *   maximum are retained — anything below that watermark counts as
-  *   committed (batch ids are monotonic per the one-writer contract,
-  *   and a crash replays recent batches, not ancient ones), so
-  *   manifest size stays O(window) at any ingest age. */
+/** Immutable file-list segment reference carried by a manifest HEAD:
+  * the heavy per-file statistics live in `seg/segment-<uuid>.json`
+  * files that are written once and never rewritten, so a commit's
+  * write cost is the new segment (O(batch)) plus the small head —
+  * never the whole 10⁶-entry file list (the Iceberg manifest-list
+  * shape). `cellMin`/`cellMax` summarize the segment for diagnostics;
+  * pruning still uses the per-file stats. */
+final case class SegmentRef(path: String, nFiles: Int, cellMin: Long,
+    cellMax: Long)
+
+/** @param writerBatches streaming-ingest batch ids already applied to
+  *   the table, KEYED BY WRITER ID (the Delta txn-appId shape): batch
+  *   ids are monotonic only within one writer, and a streaming query
+  *   restarted from a fresh checkpoint restarts ids at 0 under a NEW
+  *   writer id — keying prevents those batches from being silently
+  *   swallowed as replays of some older stream's ids. Carried through
+  *   compaction, so replay detection survives data files being
+  *   rewritten into new generations. BOUNDED per writer: only the ids
+  *   within [[TileTable.BatchIdWindow]] of that writer's maximum are
+  *   retained — below that watermark counts as committed (a crash
+  *   replays recent batches, not ancient ones), so manifest size
+  *   stays O(writers · window) at any ingest age. */
 final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     cellLevel: Int, files: Seq[TileFileStat],
     srs: Option[String] = None,
     bands: Seq[BandInfo] = Nil,
-    committedBatches: Seq[Long] = Nil)
+    writerBatches: Map[String, Seq[Long]] = Map.empty) {
+
+  /** The default writer's committed batch ids (single-stream tables). */
+  def committedBatches: Seq[Long] =
+    writerBatches.getOrElse(TileTable.DefaultWriter, Nil)
+}
 
 class TileTable(val root: String, val manifest: TileManifest) {
 
@@ -151,7 +169,30 @@ object TileTable {
   val FormatName = "graft-tile-v1"
   val DefaultCellLevel = 12
 
+  /** Writer id for callers that don't manage one (batch appends,
+    * single-stream tables). */
+  val DefaultWriter = "default"
+
   private val mapper = new ObjectMapper()
+
+  /** The table mutation protocol (conditional manifest put +
+    * O_EXCL/rename lock files) is implemented against a LOCAL
+    * filesystem; an object-store root would silently get
+    * check-then-act semantics instead of a conditional put, so refuse
+    * LOUDLY and name the port point. */
+  private[sources] def requireLocalRoot(root: String): Unit = {
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+      .findFirstMatchIn(root).map(_.group(1))
+    scheme.filter(_ != "file").foreach { s =>
+      throw new UnsupportedOperationException(
+        s"TileTable mutation requires a local filesystem root, got " +
+          s"'$s://' ($root). Port point: swap TileTable.commitHeadJson " +
+          "for the store's conditional put (S3 PutObject with " +
+          "If-None-Match:*, GCS x-goog-if-generation-match:0) and " +
+          "TileTable.withTableLock for a lease/DynamoDB-style mutex; " +
+          "the rest of the protocol is store-agnostic.")
+    }
+  }
 
   /** Prune index over a manifest's file entries: cell bounds copied
     * into primitive arrays ONCE per opened table (traversing 10^6
@@ -297,6 +338,7 @@ object TileTable {
     *     was stolen cannot free its successor's lock on the way out. */
   private[sources] def withTableLock[A](root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    requireLocalRoot(root)
     val lock = Paths.get(root, "_lock")
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
@@ -425,15 +467,103 @@ object TileTable {
   def currentManifestPath(root: String): java.nio.file.Path =
     manifestPath(root, currentVersion(root))
 
+  // ---- segmented file lists ----------------------------------------
+  //
+  // The head (`manifest-v<N>.json`) carries table metadata + SEGMENT
+  // REFERENCES; per-file statistics live in immutable
+  // `seg/segment-<uuid>.json` files. A commit writes one new segment
+  // holding only the files NOT already covered by a fully-retained
+  // existing segment — an append's commit cost is O(batch) bytes (the
+  // Iceberg manifest-list shape), never a rewrite of the 10⁶-entry
+  // list. Fully-dropped segments (a compact) simply fall out of the
+  // head; partially-retained ones have their survivors rewritten into
+  // the new segment (bounded by the mutation's own scope). Orphaned
+  // segments (a commit that lost its race) are vacuumed by age.
+  // Legacy heads with an inline `files` array read fine and upgrade
+  // to one segment on their first mutation.
+
+  private[sources] val SegDir = "seg"
+
+  private def segmentJson(files: Seq[TileFileStat]): String = {
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("files")
+    files.foreach { f =>
+      val fo = arr.addObject()
+      fo.put("path", f.path); fo.put("cellMin", f.cellMin)
+      fo.put("cellMax", f.cellMax); fo.put("rows", f.rows)
+    }
+    o.toString // compact: segments dominate manifest bytes at scale
+  }
+
+  private def parseFiles(j: JsonNode): Seq[TileFileStat] =
+    Option(j).map(_.elements().asScala.map { f =>
+      TileFileStat(f.get("path").asText(), f.get("cellMin").asLong(),
+        f.get("cellMax").asLong(), f.get("rows").asLong())
+    }.toSeq).getOrElse(Nil)
+
+  private def loadSegment(root: String, ref: SegmentRef): Seq[TileFileStat] =
+    parseFiles(mapper.readTree(
+      Files.readString(Paths.get(root, ref.path))).get("files"))
+
+  /** Write `files` as a new immutable segment, returning its ref. */
+  private def writeSegment(root: String,
+      files: Seq[TileFileStat]): SegmentRef = {
+    Files.createDirectories(Paths.get(root, SegDir))
+    val rel = s"$SegDir/segment-${java.util.UUID.randomUUID()}.json"
+    Files.writeString(Paths.get(root, rel), segmentJson(files))
+    SegmentRef(rel, files.length,
+      if (files.isEmpty) 0L else files.map(_.cellMin).min,
+      if (files.isEmpty) 0L else files.map(_.cellMax).max)
+  }
+
+  /** Segment refs of a head version (empty for legacy inline heads or
+    * version 0). */
+  private def headSegments(root: String, version: Int): Seq[SegmentRef] = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p)) return Nil
+    val j = mapper.readTree(Files.readString(p))
+    Option(j.get("segments")).map(_.elements().asScala.map { s =>
+      SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
+        s.get("cellMin").asLong(), s.get("cellMax").asLong())
+    }.toSeq).getOrElse(Nil)
+  }
+
   /** Conditionally publish `m` as `version`; false = that version was
-    * committed first by someone else (caller re-reads and retries). */
+    * committed first by someone else (caller re-reads and retries).
+    * The file list is diffed against version−1's segments: segments
+    * whose every entry survives unchanged in `m` are referenced
+    * as-is, everything else lands in ONE new segment — commit bytes
+    * are proportional to the mutation, not the table. A losing
+    * commit's segment is left for [[vacuum]]. */
   private[sources] def commitManifest(root: String, m: TileManifest,
       version: Int): Boolean = {
     require(version >= 1, "versions start at 1")
+    requireLocalRoot(root)
     Files.createDirectories(Paths.get(root))
+    val byPath = m.files.map(f => f.path -> f).toMap
+    val prior = headSegments(root, version - 1)
+      .map(ref => ref -> loadSegment(root, ref))
+    val kept = prior.filter { case (_, fs) =>
+      fs.nonEmpty && fs.forall(f => byPath.get(f.path).contains(f))
+    }
+    val covered = kept.iterator
+      .flatMap(_._2.iterator.map(_.path)).toSet
+    val residual = m.files.filterNot(f => covered.contains(f.path))
+    val segs = kept.map(_._1) ++
+      (if (residual.nonEmpty) Seq(writeSegment(root, residual)) else Nil)
+    commitHeadJson(root, headJson(m, segs), version)
+  }
+
+  /** The conditional-put primitive: stage to a temp name and
+    * Files.createLink into place — atomic, FAILS if the target exists
+    * (link(2) EEXIST), so of two racing committers of a version
+    * exactly one wins (no check-then-move window). On an object store
+    * this is the ONE method to swap (see [[requireLocalRoot]]). */
+  private def commitHeadJson(root: String, json: String,
+      version: Int): Boolean = {
     val tmp = Paths.get(root,
       s".manifest.tmp.${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, manifestJson(m))
+    Files.writeString(tmp, json)
     try {
       Files.createLink(manifestPath(root, version), tmp)
       true
@@ -462,23 +592,40 @@ object TileTable {
     sys.error("unreachable")
   }
 
-  /** Retained-id window below the max committed batch id — replay
-    * detection state per manifest stays O(window) forever. */
+  /** Retained-id window below each writer's max committed batch id —
+    * replay detection state per (manifest, writer) stays O(window)
+    * forever. */
   val BatchIdWindow = 1024L
 
-  /** A batch already applied? Checked against the manifest's
-    * committedBatches (survives compaction rewriting the data files —
-    * the path-prefix heuristic alone silently double-appends a batch
-    * replayed after a compact): an id below the retained window's
-    * watermark is committed by definition; inside the window, by
-    * membership. The legacy prefix checks cover tables written before
-    * the field existed. */
-  private def batchCommitted(m: TileManifest, batchId: Long): Boolean =
-    (m.committedBatches.nonEmpty &&
-      batchId <= m.committedBatches.max - BatchIdWindow) ||
-      m.committedBatches.contains(batchId) ||
-      m.files.exists(f => f.path.startsWith(s"append-$batchId/") ||
-        f.path.startsWith(s"append-$batchId-"))
+  /** A batch already applied BY THIS WRITER? Checked against the
+    * manifest's per-writer id sets (survives compaction rewriting the
+    * data files — the path-prefix heuristic alone silently
+    * double-appends a batch replayed after a compact): an id below
+    * the writer's retained-window watermark is committed by
+    * definition (ids are monotonic per writer; an ancient id can only
+    * be an ancient replay — logged, since a never-seen id down there
+    * would mean the caller broke the contract); inside the window, by
+    * membership. A DIFFERENT writer's ids never suppress this one —
+    * a stream restarted from a fresh checkpoint restarts at batch 0
+    * under a new writer id and must not lose data to some older
+    * stream's watermark. The legacy prefix check covers tables
+    * written before the field existed (all default-writer by
+    * construction). */
+  private def batchCommitted(m: TileManifest, writerId: String,
+      batchId: Long): Boolean = {
+    val ids = m.writerBatches.getOrElse(writerId, Nil)
+    val belowWatermark = ids.nonEmpty && batchId <= ids.max - BatchIdWindow
+    if (belowWatermark && !ids.contains(batchId))
+      System.err.println(s"[graft] TileTable: batch $batchId from " +
+        s"writer '$writerId' is below the replay watermark " +
+        s"(max ${ids.max} − $BatchIdWindow) and treated as an ancient " +
+        "replay — if this writer's ids are not monotonic, its appends " +
+        "are being dropped")
+    belowWatermark || ids.contains(batchId) ||
+      (writerId == DefaultWriter &&
+        m.files.exists(f => f.path.startsWith(s"append-$batchId/") ||
+          f.path.startsWith(s"append-$batchId-")))
+  }
 
   /** Append a micro-batch of tiles to an existing table — the
     * `foreachBatch` sink for streaming ingest. The batch lands as a
@@ -486,15 +633,19 @@ object TileTable {
     * manifest atomically under the table lock, so concurrent readers
     * always see a complete table and a crash between the data write
     * and the manifest swap leaves only unreferenced files.
-    * IDEMPOTENT in `batchId`: foreachBatch redelivers a batch after a
-    * crash (at-least-once), and a replayed id whose files are already
-    * referenced is a no-op — exactly-once table contents. Streaming
-    * ingest fragments the layout by design — run [[compact]]
-    * periodically to restore it. */
+    * IDEMPOTENT in `(writerId, batchId)`: foreachBatch redelivers a
+    * batch after a crash (at-least-once), and a replayed id whose
+    * files are already referenced is a no-op — exactly-once table
+    * contents. Pass the streaming query's STABLE id as `writerId`
+    * (stable across restarts from the same checkpoint; a fresh
+    * checkpoint gets a fresh query id, so its restarted batch 0 is a
+    * new batch, not a replay). Streaming ingest fragments the layout
+    * by design — run [[compact]] periodically to restore it. */
   def appendBatch(spark: SparkSession, root: String, tiles: DataFrame,
-      batchId: Long): TileTable = withTableLock(root) {
+      batchId: Long,
+      writerId: String = DefaultWriter): TileTable = withTableLock(root) {
     val t = open(root)
-    if (batchCommitted(t.manifest, batchId)) t // replay
+    if (batchCommitted(t.manifest, writerId, batchId)) t // replay
     else {
       // unique dir per ATTEMPT: if a zombie twin ever replays the same
       // id concurrently (stolen lock), the attempts write disjoint
@@ -507,12 +658,14 @@ object TileTable {
       val stats = writeDataFiles(spark, withCell, root, dir, 1,
         t.manifest.bands)
       mutateManifest(root) { m =>
-        if (batchCommitted(m, batchId)) None // twin won — no-op
+        if (batchCommitted(m, writerId, batchId)) None // twin won — no-op
         else {
-          val ids = (m.committedBatches :+ batchId).sorted
+          val ids = (m.writerBatches.getOrElse(writerId, Nil) :+ batchId)
+            .sorted
           Some(m.copy(
             files = (m.files ++ stats).sortBy(_.cellMin),
-            committedBatches = ids.filter(_ > ids.max - BatchIdWindow)))
+            writerBatches = m.writerBatches + (writerId ->
+              ids.filter(_ > ids.max - BatchIdWindow))))
         }
       }
     }
@@ -593,7 +746,7 @@ object TileTable {
     finally s.close()
   }
 
-  private def manifestJson(m: TileManifest): String = {
+  private def headJson(m: TileManifest, segs: Seq[SegmentRef]): String = {
     val o = mapper.createObjectNode()
     o.put("format", FormatName)
     val g = o.putObject("grid")
@@ -612,24 +765,38 @@ object TileTable {
       }
     }
     o.put("cellLevel", m.cellLevel)
-    if (m.committedBatches.nonEmpty) {
-      val ca = o.putArray("committedBatches")
-      m.committedBatches.foreach(ca.add)
+    if (m.writerBatches.nonEmpty) {
+      val wo = o.putObject("writers")
+      m.writerBatches.toSeq.sortBy(_._1).foreach { case (w, ids) =>
+        val ca = wo.putArray(w)
+        ids.foreach(ca.add)
+      }
     }
-    val arr = o.putArray("files")
-    m.files.foreach { f =>
-      val fo = arr.addObject()
-      fo.put("path", f.path); fo.put("cellMin", f.cellMin)
-      fo.put("cellMax", f.cellMax); fo.put("rows", f.rows)
+    val sa = o.putArray("segments")
+    segs.foreach { s =>
+      val so = sa.addObject()
+      so.put("path", s.path); so.put("nFiles", s.nFiles)
+      so.put("cellMin", s.cellMin); so.put("cellMax", s.cellMax)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  /** Publish `m` as the table's next manifest version (retrying past
-    * concurrent committers). Initial table writes land as v1. */
+  /** Publish the INITIAL manifest of a new table (version 1, or the
+    * next version when only the legacy flat manifest.json exists).
+    * REFUSES to run on a table with versioned commits: blindly
+    * retrying a full manifest past concurrent committers would
+    * publish over their changes — the lost update the conditional
+    * protocol exists to prevent. Mutations go through
+    * [[mutateManifest]] (or the appendBatch/compact/vacuum APIs). */
   def writeManifest(root: String, m: TileManifest): Unit = {
-    var done = false
-    while (!done) done = commitManifest(root, m, currentVersion(root) + 1)
+    val v = currentVersion(root)
+    require(v == 0,
+      s"writeManifest is initial-creation only but $root is at " +
+        s"manifest version $v — use mutateManifest (read-modify-write " +
+        "with conflict retry) so concurrent commits are never discarded")
+    if (!commitManifest(root, m, 1))
+      throw new IllegalStateException(
+        s"concurrent initial creation of $root: version 1 already exists")
   }
 
   def open(root: String): TileTable = {
@@ -644,19 +811,33 @@ object TileTable {
       g.get("widthPx").asInt(), g.get("heightPx").asInt(),
       g.get("tileW").asInt(), g.get("tileH").asInt())
     val nodata = Option(j.get("nodata")).map(_.asDouble())
-    val files = j.get("files").elements().asScala.map { f =>
-      TileFileStat(f.get("path").asText(), f.get("cellMin").asLong(),
-        f.get("cellMax").asLong(), f.get("rows").asLong())
-    }.toSeq
+    // inline `files` (legacy flat manifests) + segmented lists; the
+    // concatenation is re-sorted so downstream file ordering (chunked
+    // execution, per-file plans) is deterministic whatever segment
+    // layout the commit history produced
+    val inline = parseFiles(j.get("files"))
+    val segFiles = Option(j.get("segments"))
+      .map(_.elements().asScala.flatMap { s =>
+        loadSegment(root, SegmentRef(s.get("path").asText(),
+          s.get("nFiles").asInt(), s.get("cellMin").asLong(),
+          s.get("cellMax").asLong()))
+      }.toSeq).getOrElse(Nil)
+    val files = (inline ++ segFiles).sortBy(f => (f.cellMin, f.path))
     val bands = Option(j.get("bands")).map(_.elements().asScala.map { b =>
       BandInfo(b.get("band").asInt(),
         Option(b.get("nodata")).map(_.asDouble()))
     }.toSeq).getOrElse(Nil)
-    val committed = Option(j.get("committedBatches"))
-      .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Nil)
+    // legacy single-writer `committedBatches` reads as DefaultWriter
+    val writers =
+      Option(j.get("writers")).map { w =>
+        w.fieldNames().asScala.map(n =>
+          n -> w.get(n).elements().asScala.map(_.asLong()).toSeq).toMap
+      }.getOrElse(Map.empty[String, Seq[Long]]) ++
+        Option(j.get("committedBatches")).map(c =>
+          DefaultWriter -> c.elements().asScala.map(_.asLong()).toSeq)
     new TileTable(root, TileManifest(grid, nodata,
       j.get("cellLevel").asInt(), files,
-      Option(j.get("srs")).map(_.asText()), bands, committed))
+      Option(j.get("srs")).map(_.asText()), bands, writers))
   }
 
   def exists(root: String): Boolean =
@@ -734,6 +915,31 @@ object TileTable {
     manifestGc.foreach { v =>
       try Files.deleteIfExists(manifestPath(root, v))
       catch { case _: Exception => () } // one failure mustn't abort GC
+    }
+    // segment GC: a segment is retired once NO manifest version still
+    // on disk references it (losers of commit races, and segments of
+    // heads the pass above just deleted). The same grace window
+    // protects a segment a racing commit wrote microseconds ago whose
+    // head hasn't landed yet.
+    val segDir = Paths.get(root, SegDir)
+    if (Files.isDirectory(segDir)) {
+      val liveVersions = (0 to currentVersion(root))
+        .filter(v => Files.exists(manifestPath(root, v)))
+      val referencedSegs = liveVersions
+        .flatMap(v => headSegments(root, v)).map(_.path).toSet
+      val segs = Files.list(segDir)
+      try {
+        segs.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("segment-"))
+          .filter(p => !referencedSegs.contains(
+            s"$SegDir/${p.getFileName}"))
+          .filter(p =>
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: Exception => false })
+          .foreach(p =>
+            try Files.deleteIfExists(p)
+            catch { case _: Exception => () })
+      } finally segs.close()
     }
     removable.sorted
   }

@@ -9,8 +9,17 @@ import graft.synth.Synth
   * RDDs or broadcasts while waiting for the ContextCleaner — each
   * pipeline run releases its own caches once the dimension-sized
   * result has materialized. */
-class CacheHygieneSpec extends SparkSpec {
+class CacheHygieneSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
   private val grid = Synth.testGrid
+
+  // the shared test session may carry registered caches from an
+  // earlier suite (exactly what a harness drains between queries) —
+  // start each hygiene assertion from a clean slate
+  override def beforeEach(): Unit = {
+    super.beforeEach()
+    Caches.drain(spark)
+  }
 
   test("zonal pipeline leaves no persisted RDDs behind, run in a loop") {
     val tiles = Synth.tiles(spark, grid, "png")
@@ -51,7 +60,8 @@ class CacheHygieneSpec extends SparkSpec {
     val res = TextOps.minhashDedup(docs, "doc_id", "text",
       numHashes = 8, numBands = 4, minJaccard = 0.5)
     res.count()
-    assert(Caches.pending(spark) == before + 1)
+    // two registered caches: the content-group collapse + token hashes
+    assert(Caches.pending(spark) == before + 2)
     Caches.drain(spark)
     assert(Caches.pending(spark) == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)

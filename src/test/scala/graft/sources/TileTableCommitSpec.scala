@@ -5,6 +5,7 @@ import graft.synth.Synth
 import org.apache.spark.sql.functions.col
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Versioned-manifest commit protocol: conditional publication,
   * lost-update rejection under racing committers, replay idempotence
@@ -26,10 +27,10 @@ class TileTableCommitSpec extends SparkSpec {
     val v = TileTable.currentVersion(dir)
     assert(v >= 1, "initial write must land as a versioned manifest")
     val t = TileTable.open(dir)
-    val a = TileTable.commitManifest(dir,
-      t.manifest.copy(committedBatches = Seq(100L)), v + 1)
-    val b = TileTable.commitManifest(dir,
-      t.manifest.copy(committedBatches = Seq(200L)), v + 1)
+    val a = TileTable.commitManifest(dir, t.manifest.copy(
+      writerBatches = Map(TileTable.DefaultWriter -> Seq(100L))), v + 1)
+    val b = TileTable.commitManifest(dir, t.manifest.copy(
+      writerBatches = Map(TileTable.DefaultWriter -> Seq(200L))), v + 1)
     assert(a && !b, "conditional put must admit exactly one winner")
     assert(TileTable.open(dir).manifest.committedBatches === Seq(100L))
   }
@@ -44,10 +45,11 @@ class TileTableCommitSpec extends SparkSpec {
         // simulate a racing twin (stolen lock): it commits the next
         // version between our read and our commit
         val v = TileTable.currentVersion(dir)
-        assert(TileTable.commitManifest(dir,
-          t.manifest.copy(committedBatches = Seq(7L)), v + 1))
+        assert(TileTable.commitManifest(dir, t.manifest.copy(
+          writerBatches = Map(TileTable.DefaultWriter -> Seq(7L))), v + 1))
       }
-      Some(m.copy(committedBatches = m.committedBatches :+ 9L))
+      Some(m.copy(writerBatches = Map(TileTable.DefaultWriter ->
+        (m.committedBatches :+ 9L))))
     }
     assert(attempts.get() === 2, "loser must re-read and retry")
     // BOTH updates survive: the twin's 7 and our 9
@@ -103,9 +105,8 @@ class TileTableCommitSpec extends SparkSpec {
   test("vacuum retires superseded manifest versions but never the" +
       " current one") {
     val dir = freshTable()
-    val t = TileTable.open(dir)
-    TileTable.writeManifest(dir, t.manifest) // bump a couple versions
-    TileTable.writeManifest(dir, t.manifest)
+    TileTable.mutateManifest(dir)(m => Some(m)) // bump a couple versions
+    TileTable.mutateManifest(dir)(m => Some(m))
     val v = TileTable.currentVersion(dir)
     assert(v >= 3)
     TileTable.vacuum(dir, graceMs = 0L)
@@ -218,9 +219,8 @@ class TileTableCommitSpec extends SparkSpec {
 
   test("superseded manifests age from supersession, not from commit") {
     val dir = freshTable()
-    val t = TileTable.open(dir)
     Thread.sleep(700) // make v1 old relative to the grace below
-    TileTable.writeManifest(dir, t.manifest) // v2 supersedes v1 NOW
+    TileTable.mutateManifest(dir)(m => Some(m)) // v2 supersedes v1 NOW
     val v = TileTable.currentVersion(dir)
     TileTable.vacuum(dir, graceMs = 500L)
     assert(Files.exists(Paths.get(dir, s"manifest-v${v - 1}.json")),
@@ -228,6 +228,113 @@ class TileTableCommitSpec extends SparkSpec {
     Thread.sleep(700)
     TileTable.vacuum(dir, graceMs = 500L)
     assert(!Files.exists(Paths.get(dir, s"manifest-v${v - 1}.json")))
+  }
+
+  test("appendBatch-style commit to a 10^6-file table writes bytes " +
+      "proportional to the batch, not the table") {
+    val dir = Files.createTempDirectory("graft-seg").toString
+    val grid2 = Synth.testGrid
+    val n = 1000000
+    val files = (0 until n).map { i =>
+      TileFileStat(f"data/part-$i%07d.parquet",
+        i.toLong * 16, i.toLong * 16 + 15, 256L)
+    }
+    // initial creation: the 10^6 entries land in segment files
+    TileTable.writeManifest(dir,
+      TileManifest(grid2, Some(-9999.0), 8, files))
+    val t = TileTable.open(dir)
+    assert(t.manifest.files.length === n)
+    def treeSize(p: java.nio.file.Path): Map[String, Long] = {
+      val w = Files.walk(p)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.size(f)).toMap
+      finally w.close()
+    }
+    val before = treeSize(Paths.get(dir))
+    // the mutation a streaming micro-batch commits: +3 files
+    val batch = (0 until 3).map(i =>
+      TileFileStat(s"append-9-x/b$i.parquet", 5L, 9L, 7L))
+    TileTable.mutateManifest(dir)(m =>
+      Some(m.copy(files = m.files ++ batch)))
+    val after = treeSize(Paths.get(dir))
+    val newBytes = after.collect {
+      case (p, s) if !before.contains(p) => s }.sum
+    val tableBytes = before.values.sum
+    assert(TileTable.open(dir).manifest.files.length === n + 3)
+    // commit wrote a new head + one small segment — not a 10^6-entry
+    // rewrite (which would be ~tableBytes again)
+    assert(newBytes < tableBytes / 100,
+      s"commit wrote $newBytes bytes against a $tableBytes-byte manifest")
+    assert(newBytes < 64 * 1024, s"commit bytes not O(batch): $newBytes")
+  }
+
+  test("mutation of an object-store root is refused loudly with the " +
+      "conditional-put port point") {
+    val e = intercept[UnsupportedOperationException] {
+      TileTable.withTableLock("s3a://bucket/tables/t1") { () }
+    }
+    assert(e.getMessage.contains("If-None-Match"))
+    val e2 = intercept[UnsupportedOperationException] {
+      TileTable.commitManifest("gs://bucket/t1",
+        TileTable.open(freshTable()).manifest, 1)
+    }
+    assert(e2.getMessage.contains("conditional put"))
+  }
+
+  test("writeManifest refuses a table that already has versioned " +
+      "commits (initial creation only)") {
+    val dir = freshTable()
+    val m = TileTable.open(dir).manifest
+    val e = intercept[IllegalArgumentException] {
+      TileTable.writeManifest(dir, m)
+    }
+    assert(e.getMessage.contains("mutateManifest"))
+  }
+
+  test("a stream restarted from a fresh checkpoint (new writer id, " +
+      "batch ids from 0) is not swallowed by an older stream's watermark") {
+    val dir = freshTable()
+    val one = Synth.tiles(spark, grid)
+      .where(col("image_id") === "tile_0000_0000")
+    val n0 = TileTable.open(dir).read(spark).count()
+    // writer A has advanced far past the window
+    TileTable.appendBatch(spark, dir, one, batchId = 5000L,
+      writerId = "query-A")
+    // writer B (fresh checkpoint) starts at 0 — MUST append
+    TileTable.appendBatch(spark, dir, one, batchId = 0L,
+      writerId = "query-B")
+    assert(TileTable.open(dir).read(spark).count() === n0 + 2,
+      "fresh writer's batch 0 silently dropped as a replay")
+    // and B's own replay of 0 is still a no-op
+    TileTable.appendBatch(spark, dir, one, batchId = 0L,
+      writerId = "query-B")
+    assert(TileTable.open(dir).read(spark).count() === n0 + 2)
+    val m = TileTable.open(dir).manifest
+    assert(m.writerBatches("query-A") === Seq(5000L))
+    assert(m.writerBatches("query-B") === Seq(0L))
+  }
+
+  test("vacuum retires segments no on-disk manifest references") {
+    val dir = freshTable()
+    // several mutations → several superseded heads + segments
+    val extra = Synth.tiles(spark, grid)
+      .where(col("image_id") === "tile_0000_0000")
+    TileTable.appendBatch(spark, dir, extra, batchId = 1L)
+    TileTable.compact(spark, dir, numFiles = 1)
+    Thread.sleep(50)
+    val segsBefore = Files.list(Paths.get(dir, "seg")).count()
+    TileTable.vacuum(dir, graceMs = 0L)
+    val live = TileTable.open(dir)
+    val segsAfter = {
+      val s = Files.list(Paths.get(dir, "seg"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+    assert(segsAfter.length < segsBefore,
+      "vacuum retired no superseded segments")
+    // everything still referenced is present and the table reads
+    assert(live.read(spark).count() === grid.numTiles + 1)
+    assert(TileTable.open(dir).manifest.files.nonEmpty)
   }
 
   test("10^6-entry manifest prunes via binary search in < 50 ms") {
