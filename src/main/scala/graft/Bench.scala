@@ -301,10 +301,15 @@ object Bench {
     // (floorDiv, so reps=3 really runs one child fewer) — a
     // user-requested budget below the default must shrink the run,
     // not silently cost the same.
-    def levelPlan(defaultChildren: Int): (Int, Int) =
+    def levelPlan(defaultChildren: Int): (Int, Int) = {
+      // signed: ANY reps below the default 5 shrinks (3 and 4 → −1
+      // child), 6-7 → +1, 8-9 → +2 … matching the r3 contract that a
+      // smaller requested budget really costs less
+      val adj =
+        if (reps < 5) math.floorDiv(reps - 5, 2) else (reps - 4) / 2
       if (smoke) (1, 1)
-      else (math.max(1,
-        defaultChildren + math.floorDiv(reps - 4, 2)), 2)
+      else (math.max(1, defaultChildren + adj), 2)
+    }
     val (c2, cc2) = levelPlan(1)
     val (c8, cc8) = levelPlan(2)
     val (c32, cc32) = levelPlan(3)

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_components" -> ((s, sf) => DQ.dedupComponents(s, sf)),
     "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
     "q_token_stats" -> ((s, sf) => DQ.tokenStats(s, sf)),
+    "q_token_bpe" -> ((s, sf) => DQ.tokenBpe(s, sf)),
     "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
     "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
     "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_dedup_components" -> DQ.dedupComponentsSql,
     "q_simhash" -> DQ.simhash16Sql,
     "q_token_stats" -> DQ.tokenStatsSql,
+    "q_token_bpe" -> DQ.tokenBpeSql,
     "q_quality_scores" -> DQ.qualityScoresSql,
     "q_lang_id" -> DQ.langIdSql,
     "q_embed_topk" -> DQ.embedTopKSql,

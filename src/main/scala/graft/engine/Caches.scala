@@ -28,15 +28,17 @@ object Caches {
     * Releasing early only costs recompute. */
   val MaxPending = 8
 
-  // WeakHashMap so a session that is registered but never drained
-  // can't be pinned by the registry forever; all map access runs
-  // under the map's monitor so a register racing a drain can never
-  // slip a closure into a queue drain already detached (that closure
-  // would never run — exactly the leak this registry exists to fix).
-  // Release closures execute under the monitor too: they are cheap
-  // (unpersist/destroy bookkeeping) and contention here is a few
-  // calls per query.
-  private val reg = new java.util.WeakHashMap[
+  // All map access runs under the map's monitor so a register racing
+  // a drain can never slip a closure into a queue drain already
+  // detached (that closure would never run — exactly the leak this
+  // registry exists to fix). Release closures execute under the
+  // monitor too: they are cheap (unpersist/destroy bookkeeping) and
+  // contention here is a few calls per query. A session stopped
+  // without ever draining pins at most MaxPending closures here —
+  // weak keys would NOT help (each closure captures a Dataset that
+  // strongly references its session, the classic WeakHashMap
+  // value→key cycle), so the bound, not collection, is the guarantee.
+  private val reg = new java.util.HashMap[
     SparkSession, java.util.ArrayDeque[() => Unit]]()
 
   private def run(r: () => Unit): Unit =

@@ -376,6 +376,29 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_distinct) AS BIGINT) AS total_distinct
 FROM d GROUP BY 1"""
 
+  // ---- BPE-ish regex token counting ----
+  def tokenBpe(spark: SparkSession, sf: String): DataFrame =
+    t(spark, sf, "documents")
+      .select(col("lang"),
+        size(TextOps.bpeishTokens(col("text"))).as("n"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("total_bpeish"),
+        max(col("n")).as("max_bpeish"))
+
+  val tokenBpeSql: String = {
+    val pat = TextOps.BpeishPattern.replace("'", "''")
+    s"""
+WITH d AS (
+  SELECT lang, len(regexp_extract_all(text, '$pat')) AS n
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS total_bpeish,
+  CAST(MAX(n) AS INT) AS max_bpeish
+FROM d GROUP BY 1"""
+  }
+
   // ---- quality scoring (per-doc, no cross-row double sums) ----
   def qualityScores(spark: SparkSession, sf: String): DataFrame =
     TextOps.qualityScore(t(spark, sf, "documents"), col("text"))

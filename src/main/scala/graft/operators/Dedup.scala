@@ -67,15 +67,17 @@ object Dedup {
 
     val labels0 = nodes.select(col("id"), col("id").as("comp"))
       .persist()
-    labels0.count()
-    var labels = reroot(labels0).persist()
-    labels.count()
-    labels0.unpersist(false)
+    var labels = labels0
     var iter = 0
     var converged = false
-    // on ANY mid-loop failure, release whatever this loop pinned —
-    // a failed job must not strand round caches in the block manager
+    // on ANY failure — including the initial materializations — release
+    // whatever this loop pinned: a failed job must not strand round
+    // caches in the block manager
     try {
+    labels0.count()
+    labels = reroot(labels0).persist()
+    labels.count()
+    labels0.unpersist(false)
     while (!converged && iter < maxIter) {
       // 1. hash-min over neighbors
       val nbr = adj
@@ -116,6 +118,8 @@ object Dedup {
     } catch {
       case e: Throwable =>
         try labels.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        try labels0.unpersist(false) // no-op once released in-line
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }

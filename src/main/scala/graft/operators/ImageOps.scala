@@ -103,21 +103,7 @@ object ImageOps {
     val members = df.select(col(idCol).as("id"), col(dhCol).as("dh"))
     val vals = members.select(col("dh")).distinct()
     val banded0 = vals.select(col("dh"), explode(bandKeysArr).as("key"))
-    val banded =
-      if (maxBandFreq == Int.MaxValue) banded0
-      else {
-        val freq = banded0.groupBy("key").agg(count(lit(1)).as("n"))
-          .persist()
-        graft.engine.Caches.register(df.sparkSession,
-          () => { freq.unpersist(false); () })
-        val nDropped = freq.where(col("n") > maxBandFreq).count()
-        if (nDropped > 0)
-          System.err.println(s"[graft] dhash LSH: dropped $nDropped " +
-            s"band bucket(s) over maxBandFreq=$maxBandFreq — pairs " +
-            "joined ONLY through those buckets are not reported")
-        banded0.join(freq.where(col("n") <= maxBandFreq).select("key"),
-          Seq("key"))
-      }
+    val banded = Lsh.capBandBuckets(banded0, "key", maxBandFreq, "dhash")
     val a = banded.select(col("key"), col("dh").as("dh_a"))
     val b = banded.select(col("key"), col("dh").as("dh_b"))
     // near-dup pairs among distinct VALUES (deduped across bands)

@@ -21,6 +21,20 @@ object TextOps {
     df.withColumn("n_tokens", size(tokens(text)))
       .withColumn("n_distinct_tokens", size(array_distinct(tokens(text))))
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2 `pat` shape, reduced to
+    * constructs RE2 and java.util.regex agree on — no lookaheads):
+    * common English contractions, space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace. A cheap, replicable
+    * stand-in for a real BPE vocab when all a pipeline needs is a
+    * stable token-count signal (data mixing, length filtering). */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish token array of a text column (codegen'd
+    * `regexp_extract_all`, no UDF). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   /** Heuristic quality score: length, punctuation density, mean token
     * length, whitespace ratio — exact integer counts over the text,
     * combined in double. */
@@ -186,26 +200,10 @@ object TextOps {
       () => { hashes.unpersist(false); () })
     val sig = minhashSignature(hashes, numHashes)
     val bands = bandKeys(sig, numBands, numHashes / numBands)
-    val banded =
-      if (maxBandFreq == Int.MaxValue) bands
-      else {
-        // per-bucket frequency cap (the winnowing maxDocFreq guard,
-        // TextOps.winnowNearDupPairs): adversarial DISTINCT contents
-        // can still pile into one band bucket; cap it LOUDLY — a
-        // dropped bucket is a recall decision the operator must not
-        // make silently
-        val freq = bands.groupBy("band_key").agg(count(lit(1)).as("n"))
-          .persist()
-        graft.engine.Caches.register(spark,
-          () => { freq.unpersist(false); () })
-        val nDropped = freq.where(col("n") > maxBandFreq).count()
-        if (nDropped > 0)
-          System.err.println(s"[graft] minhash LSH: dropped $nDropped " +
-            s"band bucket(s) over maxBandFreq=$maxBandFreq — pairs " +
-            "joined ONLY through those buckets are not reported")
-        bands.join(freq.where(col("n") <= maxBandFreq)
-          .select("band_key"), Seq("band_key"))
-      }
+    // per-bucket frequency cap (the winnowing maxDocFreq guard):
+    // adversarial DISTINCT contents can still pile into one bucket
+    val banded = Lsh.capBandBuckets(bands, "band_key", maxBandFreq,
+      "minhash")
     val l = banded.select(col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_key"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band_key"))

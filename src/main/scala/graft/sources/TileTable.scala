@@ -260,6 +260,15 @@ object TileTable {
       numFiles: Int = 0,
       srs: Option[String] = None,
       bands: Seq[BandInfo] = Nil): TileTable = {
+    // initial creation ONLY, and checked BEFORE any data write: the
+    // overwrite below would delete the part files an existing table's
+    // live manifest references, corrupting it before writeManifest's
+    // own guard could refuse
+    requireLocalRoot(root)
+    require(!exists(root),
+      s"TileTable.write is initial-creation only but $root already " +
+        "holds a table — append with appendBatch, rewrite with " +
+        "compact, or choose a fresh root")
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
     val stats = writeDataFiles(spark,

@@ -23,6 +23,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TileStream {
 
+  /** `foreachBatch` sink that ingests a tile stream into a
+    * [[graft.sources.TileTable]] with exactly-once table contents:
+    *
+    * {{{
+    * tiles.writeStream
+    *   .foreachBatch(TileStream.tableSink(root, writerId = appId))
+    *   .option("checkpointLocation", ckpt)
+    *   .start()
+    * }}}
+    *
+    * `writerId` must be STABLE for the lifetime of one logical stream
+    * (its checkpoint): replay detection is keyed by (writerId,
+    * batchId), so a stream restarted from the SAME checkpoint (same
+    * writer id, replayed batch ids) is idempotent, while a stream
+    * restarted from a FRESH checkpoint (batch ids from 0 again) must
+    * use a NEW writer id — a stable per-deployment app id, or the
+    * streaming query id recorded at first start. */
+  def tableSink(root: String, writerId: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    graft.sources.TileTable.appendBatch(batch.sparkSession, root,
+      batch, batchId, writerId)
+    ()
+  }
+
   /** Streaming per-(window, fid) zonal statistics.
     *
     * @param tiles streaming DataFrame with (image_id, bytes, fmt,

@@ -112,6 +112,47 @@ class TileTableSpec extends SparkSpec {
     exp.foreach { case (g, s) => assert(got(g) === s.sum, s"group $g") }
   }
 
+  test("TileStream.tableSink: writer-keyed streaming ingest — " +
+      "exactly-once per checkpoint, fresh writers never swallowed") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val all = Synth.tiles(spark, grid)
+    import org.apache.spark.sql.functions.col
+    TileTable.write(spark, all.where(col("image_id") < "tile_0004"), grid,
+      Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val g = grid
+    def runStream(writerId: String, loCol: String, hiCol: String): Unit = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val tiles = ms.toDS().map(i => Synth.makeTile(g,
+        (i / g.tilesX).toInt, (i % g.tilesX).toInt, "raw", 0)).toDF()
+        .where(col("image_id") >= loCol && col("image_id") < hiCol)
+      val q = tiles.writeStream
+        .foreachBatch(graft.streaming.TileStream.tableSink(dir, writerId))
+        .start()
+      try {
+        ms.addData(0L until g.numTiles: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // stream A ingests [tile_0004, tile_0006) as its batch 0
+    runStream("stream-A", "tile_0004", "tile_0006")
+    assert(TileTable.open(dir).read(spark).count() === grid.numTiles * 3 / 4)
+    // stream B — a DIFFERENT stream from a fresh checkpoint, batch ids
+    // also from 0 — must append, not be dropped as A's replay
+    runStream("stream-B", "tile_0006", "tile_9999")
+    val t = TileTable.open(dir)
+    assert(t.read(spark).count() === grid.numTiles,
+      "fresh writer's batch 0 swallowed by another stream's ids")
+    assert(t.manifest.writerBatches.keySet === Set("stream-A", "stream-B"))
+    // replaying A's batch 0 IS a no-op (same writer, same id)
+    TileTable.appendBatch(spark, dir, all.where(
+      col("image_id") >= "tile_0004" && col("image_id") < "tile_0006"),
+      batchId = 0L, writerId = "stream-A")
+    assert(TileTable.open(dir).read(spark).count() === grid.numTiles)
+  }
+
   test("compaction preserves rows, updates the manifest, prunes same") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val t0 = TileTable.write(spark, Synth.tiles(spark, grid), grid,
