@@ -113,6 +113,61 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
   CAST(sum(pos) AS BIGINT) AS sum_pos
 FROM sel GROUP BY doc_id"""
 
+  /** Winnowing over ROLLING Rabin–Karp gram hashes (the gram-hash
+    * scale path — no per-gram md5). Restricted to printable-ASCII
+    * documents so the oracle's per-character ord() equals the
+    * engine's UTF-8 byte. */
+  def winnowRolling(spark: SparkSession, sf: String): DataFrame =
+    TextOps.winnowFingerprintsRolling(
+      t(spark, sf, "documents")
+        .where(col("doc_id") < WinnowDocCap &&
+          col("text").rlike("^[ -~]*$")),
+      "doc_id", "text", WinnowK, WinnowW)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum("fp").as("sum_fp"),
+        sum("pos").as("sum_pos"))
+      .select(col("doc_id"), col("n_fps"), col("sum_fp"), col("sum_pos"))
+
+  val winnowRollingSql: String = {
+    val P = graft.functions.GramHashesImpl.P
+    // h = Σ_j ord(c_{i+j})·B^{k−1−j} mod p, each term reduced before
+    // the sum so nothing overflows BIGINT
+    val terms = (0 until WinnowK).map { j =>
+      val pw = graft.functions.GramHashesImpl.powB(WinnowK - 1 - j)
+      s"(CAST(ord(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * ${pw}) % $P"
+    }.mkString("(", " + ", s") % $P")
+    s"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN len(text) > 100000
+      THEN error('winnow oracle: document exceeds the position range')
+      ELSE text END AS text
+  FROM documents
+  WHERE doc_id < $WinnowDocCap AND len(text) >= ${WinnowK + WinnowW - 1}
+    AND regexp_matches(text, '^[ -~]*$$')
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+    $terms AS h,
+    len(text) - $WinnowK + 1 AS n
+  FROM d, range(1, 100001) r(i)
+  WHERE i <= len(text) - $WinnowK + 1
+),
+wmin AS (
+  SELECT g.doc_id, CAST(ws.i AS INT) AS win,
+    min(struct_pack(h := g.h, negpos := -g.pos)) AS m
+  FROM g, range(1, 100001) ws(i)
+  WHERE g.pos >= ws.i AND g.pos < ws.i + $WinnowW
+    AND ws.i <= g.n - $WinnowW + 1
+  GROUP BY 1, 2
+),
+sel AS (SELECT DISTINCT doc_id, -m.negpos AS pos, m.h AS fp FROM wmin)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+  CAST(sum(fp) AS BIGINT) AS sum_fp,
+  CAST(sum(pos) AS BIGINT) AS sum_pos
+FROM sel GROUP BY doc_id"""
+  }
+
   /** MOSS-style near-dup pairs: ≥ minShared shared rare fingerprints
     * (doc-frequency ≤ maxDf). */
   def winnowPairs(spark: SparkSession, sf: String): DataFrame =

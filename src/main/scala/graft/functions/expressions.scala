@@ -284,6 +284,71 @@ case class IvfNearestCentroids(child: Expression, index: IvfCentroids,
       : IvfNearestCentroids = copy(child = c)
 }
 
+/** Rabin–Karp ROLLING polynomial hashes of every k-gram of a string —
+  * the gram-hashing scale path for document fingerprinting: one
+  * O(bytes) pass per row inside whole-stage codegen, instead of one
+  * md5 over each of the ~|text| grams (the md5 recipe stays as the
+  * SQL-replicable parity path; this is what a 100 TB winnowing pass
+  * runs). Hash domain is the UTF-8 BYTE sequence:
+  * h_i = Σ_{j<k} byte_{i+j} · B^{k−1−j} mod p (B=257, p=2³¹−1),
+  * maintained by the rolling recurrence h_{i+1} = (h_i − byte_i·B^{k−1})
+  * · B + byte_{i+k−1+1} mod p. For ASCII text, bytes coincide with
+  * code points, so an external SQL engine replicates the Σ form with
+  * ord(); public algorithm: Karp–Rabin, IBM J. Res. Dev. 31(2), 1987. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be positive, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    GramHashesImpl.compute(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.GramHashesImpl.compute($a, $k)")
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
+object GramHashesImpl {
+  val P = 2147483647L // 2^31 − 1, shared with TextOps.MinHashP
+  val B = 257L
+
+  /** B^e mod P (tiny e — used for the SQL-oracle literals too). */
+  def powB(e: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < e) { r = (r * B) % P; i += 1 }
+    r
+  }
+
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val bk1 = powB(k - 1)
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + (bytes(i) & 0xff)) % P; i += 1 }
+    out(0) = h
+    var p = 1
+    while (p < n) {
+      val drop = ((bytes(p - 1) & 0xff) * bk1) % P
+      // (h − drop + P) < 2^32; ·B < 2^41; + byte keeps well inside long
+      h = ((h - drop + P) * B + (bytes(p + k - 1) & 0xff)) % P
+      out(p) = h
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -337,4 +402,9 @@ object functions {
     * independent of centroid count. */
   def ivf_nearest(vec: Column, index: IvfCentroids, n: Int): Column =
     col(IvfNearestCentroids(expr(vec), index, n))
+
+  /** Rolling Rabin–Karp hashes of every k-gram (UTF-8 bytes) — one
+    * O(bytes) codegen pass per row. */
+  def gram_hashes(text: Column, k: Int): Column =
+    col(GramHashes(expr(text), k))
 }

@@ -340,6 +340,34 @@ object TextOps {
         col("f.h").as("fp"))
   }
 
+  /** Winnowing fingerprints over ROLLING Rabin–Karp gram hashes
+    * ([[graft.functions.GramHashes]]) — the gram-hashing SCALE PATH:
+    * one O(bytes) codegen pass per row replaces one md5 per gram
+    * (at 100 TB the md5s dominate the fingerprint stage; the md5
+    * recipe remains the bit-replicable parity path). Same
+    * window-min/rightmost-tie selection as [[winnowFingerprints]].
+    * Gram positions and lengths are in UTF-8 BYTES (== characters for
+    * ASCII text).
+    *
+    * @return (id, pos, fp) — 1-based gram position and hash */
+  def winnowFingerprintsRolling(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int,
+      maxChars: Int = 100000): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val text = substring(col(textCol), 1, maxChars)
+    val gh = graft.functions.functions.gram_hashes(text, k)
+    val nGrams = size(gh)
+    val grams = transform(sequence(lit(1), nGrams), i =>
+      struct(element_at(gh, i).as("h"), (-i).as("negpos")))
+    val fps = array_distinct(
+      transform(sequence(lit(1), nGrams - (w - 1)), i =>
+        array_min(slice(grams, i, lit(w)))))
+    df.where(size(gh) >= w) // at least one full window of grams
+      .select(col(idCol).as("id"), explode(fps).as("f"))
+      .select(col("id"), (-col("f.negpos")).as("pos"),
+        col("f.h").as("fp"))
+  }
+
   /** Near-duplicate pairs by shared winnowing fingerprints — the
     * MOSS-style match step: fingerprints appearing in more than
     * `maxDocFreq` documents are dropped (boilerplate/stop-gram

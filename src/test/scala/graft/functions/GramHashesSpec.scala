@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rolling Rabin–Karp gram hashes: the rolling recurrence must equal
+  * the direct Σ byte·B^j definition at every position, across ASCII
+  * and multi-byte inputs, with clean edges. */
+class GramHashesSpec extends SparkSpec {
+
+  private def naive(s: String, k: Int): Seq[Long] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val P = GramHashesImpl.P
+    (0 to bytes.length - k).map { i =>
+      var h = java.math.BigInteger.ZERO
+      val b = java.math.BigInteger.valueOf(GramHashesImpl.B)
+      for (j <- 0 until k)
+        h = h.multiply(b)
+          .add(java.math.BigInteger.valueOf(bytes(i + j) & 0xff))
+      h.mod(java.math.BigInteger.valueOf(P)).longValue()
+    }
+  }
+
+  private def viaSpark(s: String, k: Int): Seq[Long] = {
+    import spark.implicits._
+    Seq(Tuple1(s)).toDF("t")
+      .select(functions.gram_hashes(col("t"), k).as("h"))
+      .collect()(0).getSeq[Long](0)
+  }
+
+  test("rolling equals the direct polynomial definition") {
+    for (s <- Seq("the quick brown fox", "aaaaaaaaaa", "ab",
+        "x" * 500, "mixed 123 !@# text with  spaces");
+        k <- Seq(1, 3, 8)) {
+      if (s.length >= k)
+        assert(viaSpark(s, k) === naive(s, k), s"k=$k s=${s.take(20)}")
+    }
+  }
+
+  test("multi-byte UTF-8 hashes over bytes, deterministically") {
+    val s = "héllo wörld — 的是"
+    assert(viaSpark(s, 4) === naive(s, 4))
+  }
+
+  test("strings shorter than k yield an empty array") {
+    assert(viaSpark("ab", 8) === Seq.empty)
+    assert(viaSpark("", 3) === Seq.empty)
+  }
+
+  test("winnowFingerprintsRolling selects the same positions as the " +
+      "md5 path (selection depends only on hash ORDER statistics " +
+      "within windows, which both paths draw uniformly)") {
+    import spark.implicits._
+    // not a bit-equality claim (different hash functions) — a sanity
+    // check that the rolling path emits the SWA guarantee: any two
+    // docs sharing a substring of length >= w + k - 1 share a
+    // fingerprint
+    val shared = "common shared boilerplate fragment of text"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other beginning $shared different tail"),
+      (3L, "entirely unrelated content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFingerprintsRolling(
+      docs, "doc_id", "text", k = 8, w = 6)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint")
+  }
+}
