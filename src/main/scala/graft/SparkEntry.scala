@@ -46,6 +46,7 @@ object SparkEntry {
     "q_image_resize" -> ((s, _) => EQ.imageResize(s)),
     "q_image_dhash" -> ((s, _) => EQ.imageDhash(s)),
     "q_image_neardup" -> ((s, _) => EQ.imageNearDup(s)),
+    "q_image_clusters" -> ((s, _) => EQ.imageClusters(s)),
     // generic relational operators
     "q_agg_pricing" -> ((s, sf) => GQ.aggPricing(s, sf)),
     "q_join_nation_rev" -> ((s, sf) => GQ.joinNationRevenue(s, sf)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
     "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
     "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
+    "q_embed_clusters" -> ((s, sf) => DQ.embedClusters(s, sf)),
     // scale-path / multimodal ops (rows-only where not SQL-expressible)
     "q_zonal_approx_pct" -> ((s, _) => EQ.zonalApproxPercentile(s)),
     "q_zonal_gk_pct" -> ((s, _) => EQ.zonalGkPercentile(s)),
@@ -120,6 +122,7 @@ object SparkEntry {
     "q_image_resize" -> EQ.imageResizeSql,
     "q_image_dhash" -> EQ.imageDhashSql,
     "q_image_neardup" -> EQ.imageNearDupSql,
+    "q_image_clusters" -> EQ.imageClustersSql,
     "q_agg_pricing" -> GQ.aggPricingSql,
     "q_join_nation_rev" -> GQ.joinNationRevenueSql,
     "q_anti_join" -> GQ.antiCustomersNoOrdersSql,
@@ -157,6 +160,7 @@ object SparkEntry {
     "q_lang_id" -> DQ.langIdSql,
     "q_embed_topk" -> DQ.embedTopKSql,
     "q_embed_neardup" -> DQ.embedNearDupSql,
+    "q_embed_clusters" -> DQ.embedClustersSql,
     "q_audio_framesample" -> DQ.audioFrameSampleSql,
     "q_zonal_approx_pct" -> EQ.zonalApproxPercentileSql,
     "q_zonal_gk_pct" -> EQ.zonalGkPercentileSql,

@@ -633,6 +633,57 @@ SELECT * FROM (
     srpPairSql(cond)
   }
 
+  /** Embedding dedup CLUSTERS: banded-SRP near-dup pairs (the
+    * highest-recall bucket join) feed connected components — the
+    * linear corpus-scale deliverable for embedding near-dup removal,
+    * completing the cluster story across text (q_minhash_clusters),
+    * image (q_image_clusters) and embedding modalities. */
+  def embedClusters(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val pairs = Similarity.srpBandedNearDupPairs(e, "vec_id",
+      "embedding", SrpDim, SrpPlanes, SrpBands, SrpThreshold)
+    graft.operators.Dedup.dedupClusters(
+      e.select(col("vec_id").as("id")), pairs.select("id_a", "id_b"))
+      .select(col("id").as("vec_id"), col("comp"), col("is_canonical"))
+  }
+
+  val embedClustersSql: String = {
+    val bandBits = SrpPlanes / SrpBands
+    val mask = (1L << bandBits) - 1
+    val cond = (0 until SrpBands).map { b =>
+      s"((ba.bucket >> ${b * bandBits}) & $mask) = " +
+        s"((bb.bucket >> ${b * bandBits}) & $mask)"
+    }.mkString("(", " OR ", ")")
+    s"""
+WITH RECURSIVE $srpBucketSql,
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+         FROM (SELECT unnest(a.embedding) AS x))) *
+       sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(b.embedding) AS y)))) AS score
+    FROM embeddings a, embeddings b, bk ba, bk bb
+    WHERE a.vec_id < b.vec_id
+      AND ba.vec_id = a.vec_id AND bb.vec_id = b.vec_id
+      AND $cond
+  ) WHERE score >= $SrpThreshold
+),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT vec_id AS id FROM embeddings),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+SELECT n.id AS vec_id, c.comp, (n.id = c.comp) AS is_canonical
+FROM nodes n JOIN comp c ON c.id = n.id"""
+  }
+
   // ---- deterministic hash split / subsample ----
 
   /** Train/val/test carve by content-stable hash (80/10/10): the

@@ -791,4 +791,49 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
 FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 2"""
+
+  /** Image dedup CLUSTERS: the dHash near-dup pairs feed connected
+    * components — one canonical tile per perceptual-duplicate group
+    * (comp = the group's minimum image_id). The oracle recomputes the
+    * pair set brute-force (the band join's pigeonhole completeness is
+    * already certified by q_image_neardup) and clusters it with a
+    * recursive reachability CTE. */
+  def imageClusters(spark: SparkSession): DataFrame = {
+    val withDh = imageDhash(spark).persist()
+    graft.engine.Caches.register(spark,
+      () => { withDh.unpersist(false); () })
+    val all = withDh.unionByName(withDh.select(
+      concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash")))
+    val pairs = graft.operators.ImageOps.dhashNearDupPairs(
+      all, "image_id", "dhash", bands = 4, bitsPerBand = 14,
+      maxHamming = 2)
+    graft.operators.Dedup.dedupClusters(
+      all.select(col("image_id").as("id")),
+      pairs.select("id_a", "id_b"))
+      .select(col("id").as("image_id"), col("comp"),
+        col("is_canonical"))
+  }
+
+  val imageClustersSql: String =
+    s"""${dhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+all_ids AS (
+  SELECT image_id, dhash FROM dh
+  UNION ALL SELECT image_id || '~dup', dhash FROM dh
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT image_id AS id FROM all_ids),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+SELECT n.id AS image_id, c.comp, (n.id = c.comp) AS is_canonical
+FROM nodes n JOIN comp c ON c.id = n.id"""
 }
