@@ -120,8 +120,11 @@ FROM sel GROUP BY doc_id"""
   def winnowRolling(spark: SparkSession, sf: String): DataFrame =
     TextOps.winnowFingerprintsRolling(
       t(spark, sf, "documents")
+        // \A..\z (not ^..$): Java's $ also matches before a trailing
+        // newline while RE2's does not — the oracle filter must be
+        // the exact same predicate
         .where(col("doc_id") < WinnowDocCap &&
-          col("text").rlike("^[ -~]*$")),
+          col("text").rlike("\\A[ -~]*\\z")),
       "doc_id", "text", WinnowK, WinnowW)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_fps"), sum("fp").as("sum_fp"),
@@ -144,7 +147,7 @@ WITH d AS (
       ELSE text END AS text
   FROM documents
   WHERE doc_id < $WinnowDocCap AND len(text) >= ${WinnowK + WinnowW - 1}
-    AND regexp_matches(text, '^[ -~]*$$')
+    AND regexp_matches(text, '\\A[ -~]*\\z')
 ),
 g AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
@@ -671,17 +674,8 @@ pairs AS (
       AND $cond
   ) WHERE score >= $SrpThreshold
 ),
-e AS (SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs),
-nodes AS (SELECT vec_id AS id FROM embeddings),
-reach AS (
-  SELECT id, id AS r FROM nodes
-  UNION
-  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
-),
-comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
-SELECT n.id AS vec_id, c.comp, (n.id = c.comp) AS is_canonical
-FROM nodes n JOIN comp c ON c.id = n.id"""
+nodes AS (SELECT vec_id AS id FROM embeddings)""" +
+      OracleSql.ccSuffix("vec_id")
   }
 
   // ---- deterministic hash split / subsample ----

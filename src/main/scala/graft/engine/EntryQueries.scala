@@ -767,20 +767,27 @@ SELECT image_id, dhash FROM dh"""
     * true formula collisions; the oracle brute-forces all pairs —
     * agreement also certifies the band join's ≤ bands−1 Hamming
     * guarantee at this threshold. */
-  def imageNearDup(spark: SparkSession): DataFrame = {
-    // dhash feeds four plan branches (both union arms × both join
-    // sides) — hash each tile once, not four times
+  /** dHash per tile with an exact `~dup` copy of every tile — the
+    * ONE fixture shared by the image near-dup and cluster queries
+    * (hash-once-persist: dhash feeds several plan branches). */
+  private def dupDoubledDhash(spark: SparkSession): DataFrame = {
     val withDh = imageDhash(spark).persist()
     graft.engine.Caches.register(spark,
       () => { withDh.unpersist(false); () })
-    val dup = withDh.select(
-      concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash"))
-    graft.operators.ImageOps.dhashNearDupPairs(
-      withDh.unionByName(dup), "image_id", "dhash",
+    withDh.unionByName(withDh.select(
+      concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash")))
+  }
+
+  /** The ONE band-join parameterization both image-dedup queries use
+    * (4 × 14-bit bands, Hamming ≤ 2 — pigeonhole-complete). */
+  private def dhashPairs(all: DataFrame): DataFrame =
+    graft.operators.ImageOps.dhashNearDupPairs(all, "image_id", "dhash",
       bands = 4, bitsPerBand = 14, maxHamming = 2)
+
+  def imageNearDup(spark: SparkSession): DataFrame =
+    dhashPairs(dupDoubledDhash(spark))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long")
         .as("hamming"))
-  }
 
   val imageNearDupSql: String = s"""$dhashCte,
 all_ids AS (
@@ -796,20 +803,13 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 2"""
     * components — one canonical tile per perceptual-duplicate group
     * (comp = the group's minimum image_id). The oracle recomputes the
     * pair set brute-force (the band join's pigeonhole completeness is
-    * already certified by q_image_neardup) and clusters it with a
-    * recursive reachability CTE. */
+    * already certified by q_image_neardup) and clusters it with the
+    * shared recursive reachability CTE. */
   def imageClusters(spark: SparkSession): DataFrame = {
-    val withDh = imageDhash(spark).persist()
-    graft.engine.Caches.register(spark,
-      () => { withDh.unpersist(false); () })
-    val all = withDh.unionByName(withDh.select(
-      concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash")))
-    val pairs = graft.operators.ImageOps.dhashNearDupPairs(
-      all, "image_id", "dhash", bands = 4, bitsPerBand = 14,
-      maxHamming = 2)
+    val all = dupDoubledDhash(spark)
     graft.operators.Dedup.dedupClusters(
       all.select(col("image_id").as("id")),
-      pairs.select("id_a", "id_b"))
+      dhashPairs(all).select("id_a", "id_b"))
       .select(col("id").as("image_id"), col("comp"),
         col("is_canonical"))
   }
@@ -825,15 +825,6 @@ pairs AS (
   FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
   WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
 ),
-e AS (SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs),
-nodes AS (SELECT image_id AS id FROM all_ids),
-reach AS (
-  SELECT id, id AS r FROM nodes
-  UNION
-  SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
-),
-comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
-SELECT n.id AS image_id, c.comp, (n.id = c.comp) AS is_canonical
-FROM nodes n JOIN comp c ON c.id = n.id"""
+nodes AS (SELECT image_id AS id FROM all_ids)""" +
+      graft.engine.OracleSql.ccSuffix("image_id")
 }

@@ -349,6 +349,74 @@ object GramHashesImpl {
   }
 }
 
+/** Winnowing fingerprint SELECTION over a gram-hash array (the SWA
+  * window-min step): within every window of `w` consecutive hashes
+  * select the minimum, rightmost position on ties; emit the distinct
+  * selected (pos, fp) pairs. One O(n) pass per row with a monotonic
+  * deque — composed with [[GramHashes]] the whole fingerprint stage
+  * is two codegen nodes and linear in document bytes. (The
+  * higher-order-function formulation — transform/slice/array_min
+  * lambdas — re-evaluates the hash array per element because Spark
+  * does not hoist lambda-invariant subtrees: measured near-quadratic,
+  * 11.8× slower at 4× doc length. This expression IS the scale
+  * path.) Selection positions are non-decreasing as the window
+  * slides, so suppressing repeats of the last selection equals a
+  * global distinct. */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"w must be positive, got $w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowSelectImpl.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.WinnowSelectImpl.compute($a, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowSelect =
+    copy(child = c)
+}
+
+object WinnowSelectImpl {
+  /** Sliding-window minimum with rightmost-tie rule: pop the deque's
+    * back while its hash is ≥ the incoming one, so among equal minima
+    * the NEWEST index survives (= min of struct(h, −pos)). Positions
+    * in the result are 1-based, matching the md5 winnowing path. */
+  def compute(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val idx = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var lastSel = -1
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      while (tail > head && hs.getLong(idx(tail - 1)) >= h) tail -= 1
+      idx(tail) = i
+      tail += 1
+      if (idx(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val sel = idx(head)
+        if (sel != lastSel) {
+          out += InternalRow(sel + 1, hs.getLong(sel))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -407,4 +475,9 @@ object functions {
     * O(bytes) codegen pass per row. */
   def gram_hashes(text: Column, k: Int): Column =
     col(GramHashes(expr(text), k))
+
+  /** Winnowing window-min selection (rightmost ties) over a gram-hash
+    * array — array<struct<pos,fp>> in one O(n) pass. */
+  def winnow_select(hashes: Column, w: Int): Column =
+    col(WinnowSelect(expr(hashes), w))
 }

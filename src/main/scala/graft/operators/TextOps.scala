@@ -340,14 +340,19 @@ object TextOps {
         col("f.h").as("fp"))
   }
 
-  /** Winnowing fingerprints over ROLLING Rabin–Karp gram hashes
-    * ([[graft.functions.GramHashes]]) — the gram-hashing SCALE PATH:
-    * one O(bytes) codegen pass per row replaces one md5 per gram
-    * (at 100 TB the md5s dominate the fingerprint stage; the md5
-    * recipe remains the bit-replicable parity path). Same
-    * window-min/rightmost-tie selection as [[winnowFingerprints]].
-    * Gram positions and lengths are in UTF-8 BYTES (== characters for
-    * ASCII text).
+  /** Winnowing fingerprints over ROLLING Rabin–Karp gram hashes —
+    * the TRUE gram-hashing scale path: [[graft.functions.GramHashes]]
+    * (one O(bytes) rolling pass) composed with
+    * [[graft.functions.WinnowSelect]] (one O(n) monotonic-deque
+    * window-min pass) — TWO codegen nodes per row, linear in document
+    * bytes, replacing one md5 per gram. (A higher-order-function
+    * formulation of the selection is near-quadratic: Spark does not
+    * hoist lambda-invariant subtrees, so transform/slice lambdas
+    * re-evaluate the hash array per element — see WinnowSelect's
+    * scaladoc.) Same window-min/rightmost-tie selection semantics as
+    * [[winnowFingerprints]]; the md5 recipe remains the
+    * bit-replicable SQL-parity path. Gram positions and lengths are
+    * in UTF-8 BYTES (== characters for ASCII text).
     *
     * @return (id, pos, fp) — 1-based gram position and hash */
   def winnowFingerprintsRolling(df: DataFrame, idCol: String,
@@ -355,17 +360,10 @@ object TextOps {
       maxChars: Int = 100000): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val text = substring(col(textCol), 1, maxChars)
-    val gh = graft.functions.functions.gram_hashes(text, k)
-    val nGrams = size(gh)
-    val grams = transform(sequence(lit(1), nGrams), i =>
-      struct(element_at(gh, i).as("h"), (-i).as("negpos")))
-    val fps = array_distinct(
-      transform(sequence(lit(1), nGrams - (w - 1)), i =>
-        array_min(slice(grams, i, lit(w)))))
-    df.where(size(gh) >= w) // at least one full window of grams
-      .select(col(idCol).as("id"), explode(fps).as("f"))
-      .select(col("id"), (-col("f.negpos")).as("pos"),
-        col("f.h").as("fp"))
+    val sel = graft.functions.functions.winnow_select(
+      graft.functions.functions.gram_hashes(text, k), w)
+    df.select(col(idCol).as("id"), explode(sel).as("f"))
+      .select(col("id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
   }
 
   /** Near-duplicate pairs by shared winnowing fingerprints — the

@@ -25,8 +25,13 @@ object DemoSetup {
     spark.sparkContext.setLogLevel("WARN")
     val grid = Synth.testGrid
     Seq(0 -> "rasterA", 1 -> "rasterB").foreach { case (v, stem) =>
+      val root = s"$dir/tables/$stem"
+      // demo workspace: a re-run rebuilds from scratch (TileTable.write
+      // refuses to overwrite a live table)
+      if (TileTable.exists(root))
+        graft.engine.Checkpoints.deleteRecursively(Paths.get(root))
       TileTable.write(spark, Synth.tiles(spark, grid, "raw", v), grid,
-        Some(-9999.0), s"$dir/tables/$stem", cellLevel = 8, numFiles = 2)
+        Some(-9999.0), root, cellLevel = 8, numFiles = 2)
     }
     Files.createDirectories(Paths.get(s"$dir/vec"))
     ZoneStore.write(spark, Fixtures.zonesBasic(grid), "region_group",
