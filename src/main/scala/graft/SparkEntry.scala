@@ -77,6 +77,7 @@ object SparkEntry {
     "q_minhash_clusters" -> ((s, sf) => DQ.minhashClusters(s, sf)),
     "q_winnow_fps" -> ((s, sf) => DQ.winnowFps(s, sf)),
     "q_winnow_rolling" -> ((s, sf) => DQ.winnowRolling(s, sf)),
+    "q_winnow_rolling_pairs" -> ((s, sf) => DQ.winnowRollingPairs(s, sf)),
     "q_winnow_pairs" -> ((s, sf) => DQ.winnowPairs(s, sf)),
     "q_dedup_components" -> ((s, sf) => DQ.dedupComponents(s, sf)),
     "q_simhash" -> ((s, sf) => DQ.simhash16(s, sf)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_minhash_clusters" -> DQ.minhashClustersSql,
     "q_winnow_fps" -> DQ.winnowFpsSql,
     "q_winnow_rolling" -> DQ.winnowRollingSql,
+    "q_winnow_rolling_pairs" -> DQ.winnowRollingPairsSql,
     "q_winnow_pairs" -> DQ.winnowPairsSql,
     "q_dedup_components" -> DQ.dedupComponentsSql,
     "q_simhash" -> DQ.simhash16Sql,

@@ -131,7 +131,10 @@ FROM sel GROUP BY doc_id"""
         sum("pos").as("sum_pos"))
       .select(col("doc_id"), col("n_fps"), col("sum_fp"), col("sum_pos"))
 
-  val winnowRollingSql: String = {
+  /** Rolling-hash analogue of [[winnowSelCte]] (per-position Σ
+    * polynomial instead of md5) — ONE definition shared by the
+    * rolling fps and rolling pairs oracles. */
+  private def winnowRollingSelCte: String = {
     val P = graft.functions.GramHashesImpl.P
     // h = Σ_j ord(c_{i+j})·B^{k−1−j} mod p, each term reduced before
     // the sum so nothing overflows BIGINT
@@ -164,12 +167,29 @@ wmin AS (
     AND ws.i <= g.n - $WinnowW + 1
   GROUP BY 1, 2
 ),
-sel AS (SELECT DISTINCT doc_id, -m.negpos AS pos, m.h AS fp FROM wmin)
+sel AS (SELECT DISTINCT doc_id, -m.negpos AS pos, m.h AS fp FROM wmin)"""
+  }
+
+  val winnowRollingSql: String = s"""$winnowRollingSelCte
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
   CAST(sum(fp) AS BIGINT) AS sum_fp,
   CAST(sum(pos) AS BIGINT) AS sum_pos
 FROM sel GROUP BY doc_id"""
-  }
+
+  /** The WHOLE winnowing dedup pipeline in its 100 TB shape: linear
+    * rolling fingerprints + the doc-freq-capped pair join. */
+  def winnowRollingPairs(spark: SparkSession, sf: String): DataFrame =
+    TextOps.winnowNearDupPairsRolling(
+      t(spark, sf, "documents")
+        .where(col("doc_id") < WinnowDocCap &&
+          col("text").rlike("\\A[ -~]*\\z")),
+      "doc_id", "text", WinnowK, WinnowW,
+      WinnowMinShared, WinnowMaxDf)
+      .select(col("id_a"), col("id_b"), col("shared"))
+
+  val winnowRollingPairsSql: String =
+    s"""$winnowRollingSelCte$winnowPairsCte
+SELECT id_a, id_b, shared FROM pairs"""
 
   /** MOSS-style near-dup pairs: ≥ minShared shared rare fingerprints
     * (doc-frequency ≤ maxDf). */

@@ -376,12 +376,29 @@ object TextOps {
     * rare fingerprints. */
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDocFreq: Int,
-      maxChars: Int = 100000): DataFrame = {
+      maxChars: Int = 100000): DataFrame =
+    winnowNearDupPairsFrom(
+      winnowFingerprints(df, idCol, textCol, k, w, maxChars),
+      minShared, maxDocFreq)
+
+  /** [[winnowNearDupPairs]] over the LINEAR rolling-hash fingerprint
+    * stage ([[winnowFingerprintsRolling]]) — the 100 TB shape of the
+    * whole winnowing dedup pipeline: O(bytes) fingerprints, doc-freq
+    * capped join. */
+  def winnowNearDupPairsRolling(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Int, maxDocFreq: Int,
+      maxChars: Int = 100000): DataFrame =
+    winnowNearDupPairsFrom(
+      winnowFingerprintsRolling(df, idCol, textCol, k, w, maxChars),
+      minShared, maxDocFreq)
+
+  /** MOSS match step over any (id, fp) fingerprint frame. */
+  private def winnowNearDupPairsFrom(fps0: DataFrame, minShared: Int,
+      maxDocFreq: Int): DataFrame = {
     // consumed three times (doc-freq filter + both join sides) —
     // cache the fingerprint pass, released via the session registry
-    val fps = winnowFingerprints(df, idCol, textCol, k, w, maxChars)
-      .select(col("id"), col("fp")).distinct().persist()
-    graft.engine.Caches.register(df.sparkSession,
+    val fps = fps0.select(col("id"), col("fp")).distinct().persist()
+    graft.engine.Caches.register(fps0.sparkSession,
       () => { fps.unpersist(false); () })
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("ndocs")) // fps is distinct on (id, fp)
