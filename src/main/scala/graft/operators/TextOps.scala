@@ -187,18 +187,29 @@ object TextOps {
     * >= minJaccard to confirm. Shared by [[minhashDedup]] and
     * [[minhashDedupClusters]]; `capBands` optionally drops band
     * buckets holding more than maxBandFreq docs (with the dropped
-    * count reported to the caller). */
+    * count reported to the caller).
+    *
+    * The verify step carries each doc's DISTINCT-TOKEN SET as one
+    * array column and intersects per candidate pair
+    * (`array_intersect`, codegen) — two equi-joins on id and a map
+    * pass. The alternative (exploding candidates × tokens into an
+    * (id, tok) join + count aggregate) multiplies every candidate row
+    * by ~|tokens| before the filter and measured 5× slower on a
+    * near-degenerate corpus (5.3 M candidates × ~22 tokens → 110 M
+    * join rows at sf0.1). Per-doc token arrays are bounded by the
+    * document length, so the row width stays O(doc bytes) — the same
+    * bound the corpus scan already carries. */
   private def repNearDupPairs(repDocs: DataFrame, numHashes: Int,
       numBands: Int, minJaccard: Double,
       maxBandFreq: Int = Int.MaxValue): DataFrame = {
     val spark = repDocs.sparkSession
-    // the token-hash cache feeds four consumers of the RETURNED lazy
-    // plan, so it cannot be unpersisted here; register it so loop
-    // callers can drain between iterations (graft.engine.Caches)
-    val hashes = tokenHashes(repDocs, "id", "text").persist()
+    val hashes = tokenHashes(repDocs, "id", "text")
+    // rep-dimension-sized (one row per distinct content) and consumed
+    // 2·numBands times by the banded self-join: without the cache the
+    // signature aggregate re-runs once per band PER JOIN SIDE
+    val sig = minhashSignature(hashes, numHashes).persist()
     graft.engine.Caches.register(spark,
-      () => { hashes.unpersist(false); () })
-    val sig = minhashSignature(hashes, numHashes)
+      () => { sig.unpersist(false); () })
     val bands = bandKeys(sig, numBands, numHashes / numBands)
     // per-bucket frequency cap (the winnowing maxDocFreq guard):
     // adversarial DISTINCT contents can still pile into one bucket
@@ -209,18 +220,24 @@ object TextOps {
     val cand = l.join(r, Seq("band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sizes = hashes.groupBy("id")
-      .agg(countDistinct("tok").as("n_tok"))
-    val inter = cand
-      .join(hashes.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(hashes.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    cand.join(inter, Seq("id_a", "id_b"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("n_tok").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_tok").as("nb")), Seq("id_b"))
+    // persisted for two reasons: it feeds BOTH verify join sides, and
+    // the materialized size stat lets Spark broadcast it when the rep
+    // dimension is small (unpersisted, the estimate inflates through
+    // the upstream join and both verify joins fall back to sorting +
+    // shuffling the full candidate set — measured 10× slower)
+    val tokSets = repDocs.select(col("id"),
+      array_distinct(tokens(col("text"))).as("toks")).persist()
+    graft.engine.Caches.register(spark,
+      () => { tokSets.unpersist(false); () })
+    cand
+      .join(tokSets.select(col("id").as("id_a"), col("toks").as("ta")),
+        Seq("id_a"))
+      .join(tokSets.select(col("id").as("id_b"), col("toks").as("tb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
+        (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
