@@ -84,6 +84,8 @@ object SparkEntry {
     "q_token_stats" -> ((s, sf) => DQ.tokenStats(s, sf)),
     "q_token_bpe" -> ((s, sf) => DQ.tokenBpe(s, sf)),
     "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
+    "q_dup_lines" -> ((s, sf) => DQ.dupLines(s, sf)),
+    "q_top_ngrams" -> ((s, sf) => DQ.topNgrams(s, sf)),
     "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
     "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
     "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
@@ -159,6 +161,8 @@ object SparkEntry {
     "q_token_stats" -> DQ.tokenStatsSql,
     "q_token_bpe" -> DQ.tokenBpeSql,
     "q_quality_scores" -> DQ.qualityScoresSql,
+    "q_dup_lines" -> DQ.dupLinesSql,
+    "q_top_ngrams" -> DQ.topNgramsSql,
     "q_lang_id" -> DQ.langIdSql,
     "q_embed_topk" -> DQ.embedTopKSql,
     "q_embed_neardup" -> DQ.embedNearDupSql,

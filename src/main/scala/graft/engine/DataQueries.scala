@@ -495,6 +495,105 @@ SELECT doc_id, lang,
     / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
 FROM documents"""
 
+  // ---- repetition signals (Gopher/MassiveText filters) ----
+
+  /** Deterministic fixture with REAL line structure (the corpus
+    * documents are single-line, so duplicate-line metrics would be
+    * uniformly zero over them): duplicated-line blocks of varying
+    * size, all-unique docs, half-duplicated docs, single-line docs. */
+  def repetitionDocs(spark: SparkSession): DataFrame = {
+    val d = col("doc_id")
+    spark.range(0, 120).select(col("id").as("doc_id"))
+      .select(d,
+        when(d % 4 === 0,
+          concat(
+            concat_ws("\n", array_repeat(lit("dup dup dup"),
+              ((d % 5) + 2).cast("int"))),
+            lit("\n"), format_string("tail %d", d)))
+          .when(d % 4 === 1, concat_ws("\n",
+            format_string("u%d one", d), format_string("u%d two", d),
+            format_string("u%d three", d)))
+          .when(d % 4 === 2, concat_ws("\n",
+            format_string("pair %d", d % 3),
+            format_string("pair %d", d % 3),
+            format_string("solo %d", d)))
+          .otherwise(format_string("single %d", d)).as("text"))
+  }
+
+  /** DuckDB mirror of [[repetitionDocs]] (byte-identical text). */
+  private val repetitionDocsCte: String = """
+docs AS (
+  SELECT CAST(d AS BIGINT) AS doc_id,
+    CASE WHEN d % 4 = 0 THEN
+        rtrim(repeat('dup dup dup' || chr(10), CAST(d % 5 AS INT) + 2),
+          chr(10)) || chr(10) || printf('tail %d', d)
+      WHEN d % 4 = 1 THEN printf('u%d one', d) || chr(10) ||
+        printf('u%d two', d) || chr(10) || printf('u%d three', d)
+      WHEN d % 4 = 2 THEN printf('pair %d', d % 3) || chr(10) ||
+        printf('pair %d', d % 3) || chr(10) || printf('solo %d', d)
+      ELSE printf('single %d', d) END AS text
+  FROM range(0, 120) t(d)
+)"""
+
+  def dupLines(spark: SparkSession, sf: String): DataFrame =
+    TextOps.dupLineSignals(repetitionDocs(spark), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"))
+
+  val dupLinesSql: String = s"""
+WITH $repetitionDocsCte,
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM docs),
+g AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+  CASE WHEN sum(c) > 0
+    THEN CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      / CAST(sum(c) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN sum(c * length(line)) > 0
+    THEN CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+        AS DOUBLE)
+      / CAST(sum(c * length(line)) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_char_frac
+FROM g GROUP BY doc_id"""
+
+  def topNgrams(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+    TextOps.topNgramSignal(docs, "doc_id", "text", 2)
+      .join(TextOps.topNgramSignal(docs, "doc_id", "text", 3), Seq("id"))
+      .select(col("id").as("doc_id"), col("top2_char_frac"),
+        col("top3_char_frac"))
+  }
+
+  val topNgramsSql: String = """
+WITH toks AS (SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+base AS (SELECT doc_id, t, length(array_to_string(t, '')) AS wc
+  FROM toks),
+g2 AS (SELECT doc_id, wc, unnest(list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i+1])) AS g FROM base WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, g, any_value(wc) AS wc, count(*) AS c
+  FROM g2 GROUP BY 1, 2),
+r2 AS (SELECT doc_id,
+    CAST(c * length(replace(g, ' ', '')) AS DOUBLE) / CAST(wc AS DOUBLE)
+      AS f,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM c2),
+g3 AS (SELECT doc_id, wc, unnest(list_transform(range(1, len(t) - 1),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM base
+  WHERE len(t) >= 3),
+c3 AS (SELECT doc_id, g, any_value(wc) AS wc, count(*) AS c
+  FROM g3 GROUP BY 1, 2),
+r3 AS (SELECT doc_id,
+    CAST(c * length(replace(g, ' ', '')) AS DOUBLE) / CAST(wc AS DOUBLE)
+      AS f,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM c3)
+SELECT d.doc_id, COALESCE(r2.f, 0.0) AS top2_char_frac,
+  COALESCE(r3.f, 0.0) AS top3_char_frac
+FROM documents d
+LEFT JOIN (SELECT doc_id, f FROM r2 WHERE rn = 1) r2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, f FROM r3 WHERE rn = 1) r3 USING (doc_id)"""
+
   // ---- language ID (n-gram/stopword heuristic) ----
   def langId(spark: SparkSession, sf: String): DataFrame =
     TextOps.langId(t(spark, sf, "documents"), col("doc_id"), col("text"))

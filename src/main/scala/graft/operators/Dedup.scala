@@ -28,18 +28,35 @@ import org.apache.spark.sql.DataFrame
   */
 object Dedup {
 
+  /** Below this many nodes AND edges (after the undirected distinct),
+    * components are computed with a driver-side union-find over the
+    * collected edge list instead of the iterative distributed loop —
+    * the same documented adaptive-mode choice as
+    * `ZonalEngine.choosePercentileMode`. A bounded graph pays one
+    * collect (≤ ~16 MB of longs) instead of O(log n) rounds of Spark
+    * jobs whose fixed scheduling cost dwarfs the data (measured: a
+    * 106-node graph cost 8 s in round overhead). The distributed loop
+    * remains the 100 TB path and is exercised by DedupSpec with the
+    * threshold forced to 0. */
+  val SmallGraphThreshold = 1000000L
+
   /** Component id (minimum reachable vertex id) for every vertex in
     * `nodes`, including isolated ones.
     *
     * @param nodes one column `id`
     * @param edges columns `id_a`, `id_b` (undirected, any direction)
-    * @param maxIter hard cap on propagation rounds; with pointer
-    *   jumping convergence needs ~log₂(longest path) rounds, so the
-    *   default covers any graph that fits in a cluster. Exceeding it
-    *   THROWS — partially-propagated labels would silently split
-    *   components and let duplicates survive dedup. */
+    * @param maxIter hard cap on propagation rounds (distributed path
+    *   only); with pointer jumping convergence needs ~log₂(longest
+    *   path) rounds, so the default covers any graph that fits in a
+    *   cluster. Exceeding it THROWS — partially-propagated labels
+    *   would silently split components and let duplicates survive
+    *   dedup.
+    * @param smallGraphThreshold node/edge count at or below which the
+    *   driver union-find fast path runs (long-typed ids only); pass 0
+    *   to force the distributed loop */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64,
+      smallGraphThreshold: Long = SmallGraphThreshold): DataFrame = {
     val spark = nodes.sparkSession
 
     // ITERATIVE-DATAFRAME TRAP: building round N's frame on round
@@ -60,24 +77,39 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    adj0.count()
+    val edgeCount = adj0.count()
     graft.engine.Caches.register(spark,
       () => { adj0.unpersist(false); () })
     val adj = reroot(adj0)
 
+    val idField = nodes.schema.fields.head
     val labels0 = nodes.select(col("id"), col("id").as("comp"))
       .persist()
-    var labels = labels0
+    val nodeCount = labels0.count()
+
+    if (idField.dataType == org.apache.spark.sql.types.LongType &&
+        nodeCount <= smallGraphThreshold &&
+        edgeCount <= smallGraphThreshold) {
+      val out = smallGraphComponents(spark, labels0, adj0, idField)
+      labels0.unpersist(false)
+      adj0.unpersist(false)
+      return out
+    }
+
+    // distributed hash-min + pointer-jumping loop. Each round persists
+    // exactly ONE frame (its output); the convergence-count job
+    // materializes it, after which the previous round's cache is
+    // released and the new output becomes the labels cache directly —
+    // no copy pass.
+    var cacheOwner = labels0 // frame whose blocks back `labels`
+    var pending: DataFrame = null // mid-round persist to release on failure
+    var labels = reroot(labels0)
     var iter = 0
     var converged = false
     // on ANY failure — including the initial materializations — release
     // whatever this loop pinned: a failed job must not strand round
     // caches in the block manager
     try {
-    labels0.count()
-    labels = reroot(labels0).persist()
-    labels.count()
-    labels0.unpersist(false)
     while (!converged && iter < maxIter) {
       // 1. hash-min over neighbors
       val nbr = adj
@@ -99,16 +131,15 @@ object Dedup {
           least(stepped("comp"), coalesce(col("jump"), stepped("comp")))
             .as("comp"))
         .persist()
+      pending = next0
       val changed = next0
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .where(col("comp") =!= col("prev"))
-        .count() // materializes `next0`, so the old cache can go
-      labels.unpersist(false)
-      labels = reroot(next0).persist()
-      // hand the re-rooted frame its own cache and let the round's
-      // working cache go once the next count materializes it
-      labels.count()
-      next0.unpersist(false)
+        .count() // materializes `next0`; the old cache can go
+      cacheOwner.unpersist(false)
+      cacheOwner = next0
+      pending = null
+      labels = reroot(next0)
       converged = changed == 0
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -117,14 +148,15 @@ object Dedup {
     }
     } catch {
       case e: Throwable =>
-        try labels.unpersist(false)
+        try cacheOwner.unpersist(false)
         catch { case scala.util.control.NonFatal(_) => () }
-        try labels0.unpersist(false) // no-op once released in-line
-        catch { case scala.util.control.NonFatal(_) => () }
+        if (pending ne null)
+          try pending.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
     if (!converged) {
-      labels.unpersist(false)
+      cacheOwner.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "partially-propagated labels would silently split components")
@@ -133,10 +165,55 @@ object Dedup {
     // the caller's scale choice); its cache is dropped via the
     // session registry once the caller has consumed it
     graft.engine.Caches.register(spark, {
-      val last = labels
+      val last = cacheOwner
       () => { last.unpersist(false); () }
     })
     labels
+  }
+
+  /** Driver union-find over a bounded, long-id graph — semantically
+    * identical to the distributed loop: every node labeled with the
+    * minimum id reachable over edges whose BOTH endpoints are in the
+    * node set (an edge touching an unknown vertex never propagates in
+    * the distributed loop either, because that vertex has no label
+    * row), isolated nodes label themselves. The min-root union rule
+    * makes the result independent of edge order. */
+  private def smallGraphComponents(
+      spark: org.apache.spark.sql.SparkSession, labels0: DataFrame,
+      adj0: DataFrame, idField: org.apache.spark.sql.types.StructField)
+      : DataFrame = {
+    val ids = labels0.select("id").where(col("id").isNotNull)
+      .collect().map(_.getLong(0))
+    val idSet = new java.util.HashSet[java.lang.Long](ids.length * 2)
+    ids.foreach(idSet.add(_))
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x0: Long): Long = { // iterative with path compression
+      var r = x0
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val nxt = parent.get(x); parent.put(x, r); x = nxt
+      }
+      r
+    }
+    adj0.where(col("src") < col("dst")) // one direction suffices
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (idSet.contains(a) && idSet.contains(b)) {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // min root wins — order-independent labels
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+    val rows: Seq[org.apache.spark.sql.Row] =
+      ids.toIndexedSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "id"), idField.copy(name = "comp")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, ids.length / 250000)), schema)
   }
 
   /** Dedup clustering summary: component id per document plus the

@@ -51,6 +51,65 @@ object TextOps {
         (nChars - nSpaces).cast("double") / nTok)
   }
 
+  /** Duplicate-line repetition signals (the Gopher/MassiveText
+    * repetition filters, Rae et al. 2021 §A1.1): per document, the
+    * fraction of LINES that are duplicates of another line in the
+    * same document, and the fraction of CHARACTERS inside such
+    * duplicated lines. High values mark boilerplate/spam pages that
+    * survive token-level quality filters. Fully relational — lines
+    * shuffle on (id, line), counts roll up per document — so the
+    * operator is linear in corpus bytes at any scale. */
+  def dupLineSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\n")).as("line"))
+    val groups = lines.groupBy("id", "line").agg(count(lit(1)).as("c"))
+    val dupC = sum(when(col("c") > 1, col("c")).otherwise(0L))
+    val chars = sum(col("c") * length(col("line")))
+    val dupChars = sum(
+      when(col("c") > 1, col("c") * length(col("line"))).otherwise(0L))
+    groups.groupBy("id").agg(
+      sum("c").as("n_lines"),
+      when(sum("c") > 0,
+        dupC.cast("double") / sum("c").cast("double"))
+        .otherwise(0.0).as("dup_line_frac"),
+      when(chars > 0, dupChars.cast("double") / chars.cast("double"))
+        .otherwise(0.0).as("dup_line_char_frac"))
+  }
+
+  /** Top word-n-gram repetition signal (Gopher §A1.1): the fraction
+    * of a document's word characters covered by its most frequent
+    * word n-gram (count × non-space gram chars / total token chars).
+    * Ties break deterministically (count DESC, gram ASC); documents
+    * with fewer than n tokens score 0.0. The gram explode is linear
+    * (each lambda reads the token ARRAY COLUMN by index — no
+    * lambda-invariant recompute), grams shuffle on (id, gram). */
+  def topNgramSignal(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val base = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"),
+        length(concat_ws("", col("t"))).as("wc"))
+    val grams = base.where(size(col("t")) >= n)
+      .select(col("id"), col("wc"),
+        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+          .as("g"))
+    val counts = grams.groupBy("id", "g")
+      .agg(count(lit(1)).as("c"), first("wc").as("wc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("c").desc, col("g").asc)
+    val top = counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"),
+        ((col("c") * length(translate(col("g"), " ", ""))).cast("double")
+          / col("wc").cast("double")).as(s"top${n}_char_frac"))
+    df.select(col(idCol).as("id")).join(top, Seq("id"), "left_outer")
+      .na.fill(0.0, Seq(s"top${n}_char_frac"))
+  }
+
   /** n-gram-heuristic language ID: score each candidate language by
     * the fraction of tokens found in its marker list; argmax with
     * deterministic (score DESC, lang ASC) tie-break. The marker lists

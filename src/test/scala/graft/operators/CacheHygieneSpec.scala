@@ -60,8 +60,9 @@ class CacheHygieneSpec extends SparkSpec
     val res = TextOps.minhashDedup(docs, "doc_id", "text",
       numHashes = 8, numBands = 4, minJaccard = 0.5)
     res.count()
-    // two registered caches: the content-group collapse + token hashes
-    assert(Caches.pending(spark) == before + 2)
+    // three registered caches: the content-group collapse + the
+    // minhash signature frame + the verify token-set frame
+    assert(Caches.pending(spark) == before + 3)
     Caches.drain(spark)
     assert(Caches.pending(spark) == 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
