@@ -86,6 +86,8 @@ object SparkEntry {
     "q_quality_scores" -> ((s, sf) => DQ.qualityScores(s, sf)),
     "q_dup_lines" -> ((s, sf) => DQ.dupLines(s, sf)),
     "q_top_ngrams" -> ((s, sf) => DQ.topNgrams(s, sf)),
+    "q_pii_redact" -> ((s, sf) => DQ.piiRedact(s, sf)),
+    "q_url_domains" -> ((s, sf) => DQ.urlDomains(s, sf)),
     "q_lang_id" -> ((s, sf) => DQ.langId(s, sf)),
     "q_embed_topk" -> ((s, sf) => DQ.embedTopK(s, sf)),
     "q_embed_neardup" -> ((s, sf) => DQ.embedNearDup(s, sf)),
@@ -163,6 +165,8 @@ object SparkEntry {
     "q_quality_scores" -> DQ.qualityScoresSql,
     "q_dup_lines" -> DQ.dupLinesSql,
     "q_top_ngrams" -> DQ.topNgramsSql,
+    "q_pii_redact" -> DQ.piiRedactSql,
+    "q_url_domains" -> DQ.urlDomainsSql,
     "q_lang_id" -> DQ.langIdSql,
     "q_embed_topk" -> DQ.embedTopKSql,
     "q_embed_neardup" -> DQ.embedNearDupSql,

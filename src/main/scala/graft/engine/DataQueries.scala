@@ -594,6 +594,82 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, f FROM r2 WHERE rn = 1) r2 USING (doc_id)
 LEFT JOIN (SELECT doc_id, f FROM r3 WHERE rn = 1) r3 USING (doc_id)"""
 
+  // ---- PII scrub + URL/domain stats over a web-metadata fixture ----
+
+  /** Deterministic web-corpus fixture (the driver tables carry no
+    * URLs or contact info): per-doc URL over ~51 hosts, text rows
+    * cycling email / phone / clean / email+phone shapes. */
+  def webDocs(spark: SparkSession): DataFrame = {
+    val d = col("doc_id")
+    spark.range(0, 200).select(col("id").as("doc_id"))
+      .select(d,
+        format_string("https://%s.site%d.example/p/%d",
+          when(d % 3 === 0, lit("www")).when(d % 3 === 1, lit("blog"))
+            .otherwise(lit("shop")), d % 17, d).as("url"),
+        when(d % 4 === 0,
+          format_string("reach user%d at person%d@mail%d.org today",
+            d, d, d % 5))
+          .when(d % 4 === 1,
+            format_string("call +1-555-%d for offer %d",
+              d % 9000 + 1000, d))
+          .when(d % 4 === 2,
+            format_string("plain note %d with no contact info", d))
+          .otherwise(format_string(
+            "double hit a%d@b%d.io and +44-202-%d end",
+            d, d % 7, d % 900 + 100)).as("text"))
+  }
+
+  /** DuckDB mirror of [[webDocs]] (byte-identical rows). */
+  private val webDocsCte: String = """
+webdocs AS (
+  SELECT CAST(d AS BIGINT) AS doc_id,
+    printf('https://%s.site%d.example/p/%d',
+      CASE WHEN d % 3 = 0 THEN 'www' WHEN d % 3 = 1 THEN 'blog'
+        ELSE 'shop' END, d % 17, d) AS url,
+    CASE WHEN d % 4 = 0 THEN
+        printf('reach user%d at person%d@mail%d.org today', d, d, d % 5)
+      WHEN d % 4 = 1 THEN
+        printf('call +1-555-%d for offer %d', d % 9000 + 1000, d)
+      WHEN d % 4 = 2 THEN
+        printf('plain note %d with no contact info', d)
+      ELSE printf('double hit a%d@b%d.io and +44-202-%d end',
+        d, d % 7, d % 900 + 100)
+    END AS text
+  FROM range(0, 200) t(d)
+)"""
+
+  def piiRedact(spark: SparkSession, sf: String): DataFrame =
+    TextOps.redactPii(webDocs(spark), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("text_redacted")).as("redacted_md5"))
+
+  val piiRedactSql: String = s"""
+WITH $webDocsCte
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}'))
+    AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '${TextOps.PhonePattern}'))
+    AS BIGINT) AS n_phones,
+  md5(regexp_replace(
+    regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+FROM webdocs"""
+
+  def urlDomains(spark: SparkSession, sf: String): DataFrame =
+    webDocs(spark)
+      .select(TextOps.urlHost(col("url")).as("host"), col("url"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("url").as("n_urls"))
+
+  val urlDomainsSql: String = s"""
+WITH $webDocsCte
+SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+    AS host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM webdocs GROUP BY 1"""
+
   // ---- language ID (n-gram/stopword heuristic) ----
   def langId(spark: SparkSession, sf: String): DataFrame =
     TextOps.langId(t(spark, sf, "documents"), col("doc_id"), col("text"))

@@ -110,6 +110,36 @@ object TextOps {
       .na.fill(0.0, Seq(s"top${n}_char_frac"))
   }
 
+  /** PII scrub patterns — the RE2 ∩ java.util.regex dialect (no
+    * lookarounds), so Spark and any RE2-based SQL engine replicate
+    * redaction byte-for-byte. Deliberately simple, documented shapes:
+    * a real deployment swaps in its compliance-approved patterns. */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+
+  /** PII redaction (the RefinedWeb/Pile-style contact-info scrub):
+    * emails → `<EMAIL>`, phone numbers → `<PHONE>`, with per-document
+    * match counts. Pure codegen column expressions — one regex pass
+    * per pattern per row, linear in corpus bytes. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+          .cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
+  /** Registrable host of a URL column (scheme-stripped authority) —
+    * the key for per-site grouping, crawl budgeting and URL-level
+    * dedup. Empty string when the value does not parse as a URL. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
   /** n-gram-heuristic language ID: score each candidate language by
     * the fraction of tokens found in its marker list; argmax with
     * deterministic (score DESC, lang ASC) tie-break. The marker lists
