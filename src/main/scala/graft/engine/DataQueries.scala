@@ -556,13 +556,11 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
     ELSE 0.0 END AS dup_line_char_frac
 FROM g GROUP BY doc_id"""
 
-  def topNgrams(spark: SparkSession, sf: String): DataFrame = {
-    val docs = t(spark, sf, "documents")
-    TextOps.topNgramSignal(docs, "doc_id", "text", 2)
-      .join(TextOps.topNgramSignal(docs, "doc_id", "text", 3), Seq("id"))
+  def topNgrams(spark: SparkSession, sf: String): DataFrame =
+    TextOps.topNgramSignals(t(spark, sf, "documents"), "doc_id", "text",
+      Seq(2, 3))
       .select(col("id").as("doc_id"), col("top2_char_frac"),
         col("top3_char_frac"))
-  }
 
   val topNgramsSql: String = """
 WITH toks AS (SELECT doc_id,
@@ -570,7 +568,8 @@ WITH toks AS (SELECT doc_id,
 base AS (SELECT doc_id, t, length(array_to_string(t, '')) AS wc
   FROM toks),
 g2 AS (SELECT doc_id, wc, unnest(list_transform(range(1, len(t)),
-    i -> t[i] || ' ' || t[i+1])) AS g FROM base WHERE len(t) >= 2),
+    i -> t[i] || ' ' || t[i+1])) AS g FROM base
+  WHERE len(t) >= 2 AND wc > 0),
 c2 AS (SELECT doc_id, g, any_value(wc) AS wc, count(*) AS c
   FROM g2 GROUP BY 1, 2),
 r2 AS (SELECT doc_id,
@@ -580,7 +579,7 @@ r2 AS (SELECT doc_id,
   FROM c2),
 g3 AS (SELECT doc_id, wc, unnest(list_transform(range(1, len(t) - 1),
     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM base
-  WHERE len(t) >= 3),
+  WHERE len(t) >= 3 AND wc > 0),
 c3 AS (SELECT doc_id, g, any_value(wc) AS wc, count(*) AS c
   FROM g3 GROUP BY 1, 2),
 r3 AS (SELECT doc_id,

@@ -32,12 +32,14 @@ object Dedup {
     * components are computed with a driver-side union-find over the
     * collected edge list instead of the iterative distributed loop —
     * the same documented adaptive-mode choice as
-    * `ZonalEngine.choosePercentileMode`. A bounded graph pays one
-    * collect (≤ ~16 MB of longs) instead of O(log n) rounds of Spark
-    * jobs whose fixed scheduling cost dwarfs the data (measured: a
-    * 106-node graph cost 8 s in round overhead). The distributed loop
-    * remains the 100 TB path and is exercised by DedupSpec with the
-    * threshold forced to 0. */
+    * `ZonalEngine.choosePercentileMode`. A bounded graph pays the
+    * collects (boxed Rows — transient driver footprint on the order
+    * of a few hundred MB at this bound, sized for this engine's
+    * multi-GB driver; pass a smaller threshold on thin drivers)
+    * instead of O(log n) rounds of Spark jobs whose fixed scheduling
+    * cost dwarfs the data (measured: a 106-node graph cost 8 s in
+    * round overhead). The distributed loop remains the 100 TB path
+    * and is exercised by DedupSpec with the threshold forced to 0. */
   val SmallGraphThreshold = 1000000L
 
   /** Component id (minimum reachable vertex id) for every vertex in
@@ -85,14 +87,26 @@ object Dedup {
     val idField = nodes.schema.fields.head
     val labels0 = nodes.select(col("id"), col("id").as("comp"))
       .persist()
-    val nodeCount = labels0.count()
+    // a failed initial materialization (or fast-path collect) must not
+    // strand the labels0 cache in the block manager
+    val nodeCount =
+      try labels0.count()
+      catch { case e: Throwable => labels0.unpersist(false); throw e }
 
-    if (idField.dataType == org.apache.spark.sql.types.LongType &&
-        nodeCount <= smallGraphThreshold &&
+    // fast path needs getLong on BOTH the node ids and the collected
+    // edge endpoints — gate on every id column being long-typed
+    val longIds =
+      idField.dataType == org.apache.spark.sql.types.LongType &&
+        adj0.schema.fields.forall(
+          _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nodeCount <= smallGraphThreshold &&
         edgeCount <= smallGraphThreshold) {
-      val out = smallGraphComponents(spark, labels0, adj0, idField)
-      labels0.unpersist(false)
-      adj0.unpersist(false)
+      val out =
+        try smallGraphComponents(spark, labels0, adj0, idField)
+        finally {
+          labels0.unpersist(false)
+          adj0.unpersist(false)
+        }
       return out
     }
 
@@ -106,9 +120,9 @@ object Dedup {
     var labels = reroot(labels0)
     var iter = 0
     var converged = false
-    // on ANY failure — including the initial materializations — release
-    // whatever this loop pinned: a failed job must not strand round
-    // caches in the block manager
+    // on ANY round failure release whatever this loop pinned (the
+    // initial labels0 materialization is guarded above): a failed job
+    // must not strand round caches in the block manager
     try {
     while (!converged && iter < maxIter) {
       // 1. hash-min over neighbors
@@ -176,14 +190,17 @@ object Dedup {
     * minimum id reachable over edges whose BOTH endpoints are in the
     * node set (an edge touching an unknown vertex never propagates in
     * the distributed loop either, because that vertex has no label
-    * row), isolated nodes label themselves. The min-root union rule
-    * makes the result independent of edge order. */
+    * row), isolated nodes label themselves, and null-id node rows
+    * pass through as (null, null) exactly as the loop's
+    * `select(id, id as comp)` would emit them. The min-root union
+    * rule makes the result independent of edge order. */
   private def smallGraphComponents(
       spark: org.apache.spark.sql.SparkSession, labels0: DataFrame,
       adj0: DataFrame, idField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
-    val ids = labels0.select("id").where(col("id").isNotNull)
-      .collect().map(_.getLong(0))
+    val rawIds = labels0.select("id").collect()
+    val nullIdRows = rawIds.count(_.isNullAt(0))
+    val ids = rawIds.filter(!_.isNullAt(0)).map(_.getLong(0))
     val idSet = new java.util.HashSet[java.lang.Long](ids.length * 2)
     ids.foreach(idSet.add(_))
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -208,7 +225,8 @@ object Dedup {
         }
       }
     val rows: Seq[org.apache.spark.sql.Row] =
-      ids.toIndexedSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+      ids.toIndexedSeq.map(id => org.apache.spark.sql.Row(id, find(id))) ++
+        Seq.fill(nullIdRows)(org.apache.spark.sql.Row(null, null))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       idField.copy(name = "id"), idField.copy(name = "comp")))
     spark.createDataFrame(

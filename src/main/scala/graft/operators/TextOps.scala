@@ -85,29 +85,46 @@ object TextOps {
     * (each lambda reads the token ARRAY COLUMN by index — no
     * lambda-invariant recompute), grams shuffle on (id, gram). */
   def topNgramSignal(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    require(n >= 1, "n must be positive")
+      n: Int): DataFrame =
+    topNgramSignals(df, idCol, textCol, Seq(n))
+
+  /** [[topNgramSignal]] for SEVERAL n in one pass: the tokenized
+    * (id, tokens, word-chars) base is computed and cached ONCE and
+    * every n's gram pipeline and the final id join read it — one
+    * corpus scan + tokenization total instead of two per n. */
+  def topNgramSignals(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "each n must be positive")
     val base = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("t"))
       .select(col("id"), col("t"),
         length(concat_ws("", col("t"))).as("wc"))
-    val grams = base.where(size(col("t")) >= n)
-      .select(col("id"), col("wc"),
-        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(col("t"), i + j)): _*)))
-          .as("g"))
-    val counts = grams.groupBy("id", "g")
-      .agg(count(lit(1)).as("c"), first("wc").as("wc"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("c").desc, col("g").asc)
-    val top = counts.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"),
-        ((col("c") * length(translate(col("g"), " ", ""))).cast("double")
-          / col("wc").cast("double")).as(s"top${n}_char_frac"))
-    df.select(col(idCol).as("id")).join(top, Seq("id"), "left_outer")
-      .na.fill(0.0, Seq(s"top${n}_char_frac"))
+      .persist()
+    graft.engine.Caches.register(df.sparkSession,
+      () => { base.unpersist(false); () })
+    // wc > 0 guards the fraction: a whitespace-only doc can tokenize
+    // to empty-string tokens (size >= n) with ZERO word chars — its
+    // gram would score 0/0 = NaN here and engine-dependently in SQL
+    val tops = ns.map { n =>
+      val grams = base.where(size(col("t")) >= n && col("wc") > 0)
+        .select(col("id"), col("wc"),
+          explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+            .as("g"))
+      val counts = grams.groupBy("id", "g")
+        .agg(count(lit(1)).as("c"), first("wc").as("wc"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("c").desc, col("g").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"),
+          ((col("c") * length(translate(col("g"), " ", ""))).cast("double")
+            / col("wc").cast("double")).as(s"top${n}_char_frac"))
+    }
+    tops.foldLeft(base.select(col("id"))) { (acc, top) =>
+      acc.join(top, Seq("id"), "left_outer")
+    }.na.fill(0.0, ns.map(n => s"top${n}_char_frac"))
   }
 
   /** PII scrub patterns — the RE2 ∩ java.util.regex dialect (no

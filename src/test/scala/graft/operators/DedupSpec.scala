@@ -85,6 +85,33 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("null-id node rows pass through identically on both paths") {
+    import spark.implicits._
+    val nodes = Seq[Option[Long]](Some(1L), Some(2L), Some(3L), None)
+      .toDF("id")
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    for (thr <- Seq(Dedup.SmallGraphThreshold, 0L)) {
+      val got = Dedup.connectedComponents(nodes, edges,
+        smallGraphThreshold = thr)
+        .collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      graft.engine.Caches.drain(spark)
+      assert(got === Set(
+        (Some(1L), Some(1L)), (Some(2L), Some(1L)),
+        (Some(3L), Some(3L)), (None, None)), s"thr=$thr")
+    }
+  }
+
+  test("non-long edge ids fall back to the distributed loop") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1, 2)).toDF("id_a", "id_b") // IntegerType
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.engine.Caches.drain(spark)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("propagation leaves no persisted RDDs after drain (both paths)") {
     run((1L to 30L), (1L until 30L).map(i => (i, i + 1)))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)

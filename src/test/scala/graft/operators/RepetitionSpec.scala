@@ -33,6 +33,32 @@ class RepetitionSpec extends SparkSpec {
     assert(got(1L) === 0.8)
     assert(got(2L) === 2.0 / 3.0)
     assert(got(3L) === 0.0)
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("topNgramSignal: whitespace-only doc scores 0.0, not NaN") {
+    import spark.implicits._
+    // "\n\n" survives the space-only trim and splits into two EMPTY
+    // tokens — zero word chars; the wc > 0 guard must keep the
+    // fraction defined
+    val df = Seq((1L, "\n\n"), (2L, "a b a b")).toDF("doc_id", "text")
+    val got = TextOps.topNgramSignal(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 1.0)
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("topNgramSignals computes several n over one cached base") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val row = TextOps.topNgramSignals(df, "doc_id", "text", Seq(2, 3))
+      .collect().head
+    assert(row.getDouble(row.fieldIndex("top2_char_frac")) === 0.8)
+    // 3-grams of [a,b,a,b,c]: "a b a","b a b","a b c" all count 1 →
+    // tie → "a b a", 1*3/5
+    assert(row.getDouble(row.fieldIndex("top3_char_frac")) === 0.6)
+    graft.engine.Caches.drain(spark)
   }
 
   test("topNgramSignal n=3 and fixture discriminates") {
