@@ -448,17 +448,23 @@ object TextOps {
       k: Int, w: Int, maxChars: Int = 100000): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val text = substring(col(textCol), 1, maxChars)
-    val nGrams = length(text) - (k - 1)
     // struct(h, -pos): lexicographic array_min = (min hash, then max
     // position) — the SWA rightmost-tie rule
-    val grams = transform(sequence(lit(1), nGrams), i =>
-      struct(tokenHash(text.substr(i, lit(k))).as("h"),
+    val gramsExpr = transform(sequence(lit(1), length(text) - (k - 1)),
+      i => struct(tokenHash(text.substr(i, lit(k))).as("h"),
         (-i).as("negpos")))
+    // STAGE the gram array in its own projection, then reference the
+    // attribute TWICE downstream (size + the window lambda):
+    // CollapseProject inlines a single-reference alias into the
+    // lambda, where it is re-evaluated PER ELEMENT — one md5 per gram
+    // becomes nGrams md5s per window position (near-quadratic;
+    // measured ~60 s for 500 × 300-char docs at local[4], ~2 s staged)
+    val staged = df.where(length(text) >= k + w - 1)
+      .select(col(idCol).as("id"), gramsExpr.as("grams"))
     val fps = array_distinct(
-      transform(sequence(lit(1), nGrams - (w - 1)), i =>
-        array_min(slice(grams, i, lit(w)))))
-    df.where(length(text) >= k + w - 1)
-      .select(col(idCol).as("id"), explode(fps).as("f"))
+      transform(sequence(lit(1), size(col("grams")) - (w - 1)), i =>
+        array_min(slice(col("grams"), i, lit(w)))))
+    staged.select(col("id"), explode(fps).as("f"))
       .select(col("id"), (-col("f.negpos")).as("pos"),
         col("f.h").as("fp"))
   }
