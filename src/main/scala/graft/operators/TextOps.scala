@@ -239,6 +239,28 @@ object TextOps {
     hashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PER-ROW MinHash signature: appends `sig0..sig{n-1}` computed
+    * entirely inside each row (array_min over the row's distinct-token
+    * hash array) — NO aggregation, so unlike [[minhashSignature]] it
+    * composes with streaming operators (`dropDuplicatesWithinWatermark`
+    * cannot follow a groupBy). Values are IDENTICAL to the batch
+    * signature (same md5-derived token hash, same permutations; a
+    * spec pins the equality). The token-hash array is staged in its
+    * own projection and referenced once per signature column, so
+    * CollapseProject keeps the boundary and each token is md5-hashed
+    * ONCE per row, not once per permutation. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      numHashes: Int): DataFrame = {
+    require(numHashes >= 1, "numHashes must be positive")
+    val staged = df.withColumn("hm_arr",
+      transform(array_distinct(tokens(col(textCol))), t => tokenHash(t)))
+    val keep = df.columns.map(col)
+    val sigs = (0 until numHashes).map(k =>
+      array_min(transform(col("hm_arr"),
+        h => (h * minhashA(k) + minhashB(k)) % MinHashP)).as(s"sig$k"))
+    staged.select(keep ++ sigs: _*)
+  }
+
   /** (id, band_key) rows of a signature frame: `numBands` bands of
     * `rowsPerBand` signature values each, keyed "<band>_<sig>..<sig>". */
   def bandKeys(sig: DataFrame, numBands: Int,

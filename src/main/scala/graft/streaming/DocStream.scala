@@ -32,4 +32,33 @@ object DocStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col("event_time"))
   }
+
+  /** Streaming MinHash-SIGNATURE dedup — the streaming analogue of
+    * the batch pipeline's exact-content COLLAPSE step (the hot-bucket
+    * guard): documents whose full signature matches one seen within
+    * the watermark horizon are dropped.
+    *
+    * Guaranteed semantics: equal TOKEN SETS imply equal signatures,
+    * so every token-set-equal repeat (reordered/re-whitespaced
+    * boilerplate — the dominant duplicate class) is dropped, strictly
+    * more than [[dedupStream]]'s byte-exact key. Probabilistic bonus:
+    * a true near-dup with token-set Jaccard j also collides with
+    * probability j^numHashes (e.g. 0.9⁸ ≈ 0.43) — an honest RECALL
+    * PREFILTER, not full near-dedup; banded OR-matching needs
+    * cross-row state beyond a drop key and stays batch-side
+    * (`TextOps.minhashDedupClusters`).
+    *
+    * The signature is computed per row ([[TextOps.withMinhashSignature]]
+    * — no aggregation), which is what lets it precede the stateful
+    * drop; state is one signature key per horizon like dedupStream. */
+  def signatureDedupStream(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, watermark: String): DataFrame = {
+    val sigKey = concat_ws("_",
+      (0 until numHashes).map(k => col(s"sig$k")): _*)
+    graft.operators.TextOps.withMinhashSignature(docs, textCol, numHashes)
+      .withColumn("sig_key", sigKey)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .select(col(idCol), col("sig_key"), col("event_time"))
+  }
 }

@@ -44,4 +44,52 @@ class DocStreamSpec extends SparkSpec {
       assert(hashes.size === 3)
     } finally query.stop()
   }
+
+  test("streaming signature dedup: token-set-equal docs drop, others pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) =
+      new java.sql.Timestamp(t0.getTime + min * 60000L)
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "event_time")
+    val out = DocStream.signatureDedupStream(docs, "doc_id", "text",
+      numHashes = 8, watermark = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("sig_dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Seq(
+        (1L, "alpha beta gamma", ts(0)),
+        // SAME TOKEN SET, different bytes — md5 dedup would keep it
+        (2L, "gamma  beta alpha alpha", ts(1)),
+        (3L, "wholly different words", ts(2))))
+      query.processAllAvailable()
+      input.addData(Seq(
+        (4L, "beta gamma alpha", ts(3)), // cross-batch same set
+        (5L, "yet another doc", ts(4))))
+      query.processAllAvailable()
+      val ids = spark.table("sig_dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("per-row signature equals the batch aggregate signature") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "one two three four"),
+      (3L, "alpha alpha beta")).toDF("doc_id", "text")
+    val perRow = graft.operators.TextOps
+      .withMinhashSignature(docs, "text", 8)
+      .select("doc_id", (0 until 8).map(k => s"sig$k"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getLong).toSeq).toMap
+    val batch = graft.operators.TextOps.minhashSignature(
+      graft.operators.TextOps.tokenHashes(docs, "doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getLong).toSeq).toMap
+    assert(perRow === batch)
+  }
 }
