@@ -79,7 +79,11 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    val edgeCount = adj0.count()
+    // a failing edge-producer job must not strand the partly-pinned
+    // adj0 blocks (registration only happens after a successful count)
+    val edgeCount =
+      try adj0.count()
+      catch { case e: Throwable => adj0.unpersist(false); throw e }
     graft.engine.Caches.register(spark,
       () => { adj0.unpersist(false); () })
     val adj = reroot(adj0)

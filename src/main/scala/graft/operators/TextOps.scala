@@ -245,13 +245,22 @@ object TextOps {
     * composes with streaming operators (`dropDuplicatesWithinWatermark`
     * cannot follow a groupBy). Values are IDENTICAL to the batch
     * signature (same md5-derived token hash, same permutations; a
-    * spec pins the equality). The token-hash array is staged in its
+    * spec pins the equality). Null-text rows get NULL signatures —
+    * the batch path emits no signature row for them at all, so
+    * null-text docs are never signature-duplicates of each other on
+    * either path (streaming callers must key them uniquely; see
+    * `DocStream.signatureDedupStream`). The token-hash array is staged in its
     * own projection and referenced once per signature column, so
     * CollapseProject keeps the boundary and each token is md5-hashed
     * ONCE per row, not once per permutation. */
   def withMinhashSignature(df: DataFrame, textCol: String,
       numHashes: Int): DataFrame = {
     require(numHashes >= 1, "numHashes must be positive")
+    val reserved = "hm_arr" +: (0 until numHashes).map(k => s"sig$k")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — " +
+        "withMinhashSignature would clobber or duplicate them")
     val staged = df.withColumn("hm_arr",
       transform(array_distinct(tokens(col(textCol))), t => tokenHash(t)))
     val keep = df.columns.map(col)

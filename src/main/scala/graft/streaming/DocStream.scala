@@ -53,8 +53,15 @@ object DocStream {
     * drop; state is one signature key per horizon like dedupStream. */
   def signatureDedupStream(docs: DataFrame, idCol: String,
       textCol: String, numHashes: Int, watermark: String): DataFrame = {
-    val sigKey = concat_ws("_",
-      (0 until numHashes).map(k => col(s"sig$k")): _*)
+    // null-text rows have NULL signatures; concat_ws would collapse
+    // them all onto "" and silently drop every one after the first.
+    // Batch semantics (no signature row → never a duplicate) are
+    // preserved by keying each null-text doc uniquely by its own id
+    // (the \u0000 prefix cannot collide with a real numeric sig key).
+    val sigKey = when(col(textCol).isNull,
+      concat(lit("\u0000id:"), col(idCol).cast("string")))
+      .otherwise(concat_ws("_",
+        (0 until numHashes).map(k => col(s"sig$k")): _*))
     graft.operators.TextOps.withMinhashSignature(docs, textCol, numHashes)
       .withColumn("sig_key", sigKey)
       .withWatermark("event_time", watermark)

@@ -28,16 +28,20 @@ object ProfWinnow {
       }
       graft.engine.Caches.drain(s)
     }
-    // fingerprint stage alone, both paths
-    val docs = s.read.parquet(s"$sf/documents.parquet")
-      .where(col("doc_id") < 100000 && col("text").rlike("\\A[ -~]*\\z"))
+    // fingerprint stage alone, both paths — SAME parameters as the
+    // queries above (DataQueries WinnowK=8, WinnowW=6, WinnowDocCap=150;
+    // the md5 query has no ASCII filter, the rolling one does)
+    val md5Docs = s.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 150)
     t("md5 fps count") {
       System.err.println("  n=" + graft.operators.TextOps
-        .winnowFingerprints(docs, "doc_id", "text", 8, 4).count())
+        .winnowFingerprints(md5Docs, "doc_id", "text", 8, 6).count())
     }
+    val asciiDocs = md5Docs.where(col("text").rlike("\\A[ -~]*\\z"))
     t("rolling fps count") {
       System.err.println("  n=" + graft.operators.TextOps
-        .winnowFingerprintsRolling(docs, "doc_id", "text", 8, 4).count())
+        .winnowFingerprintsRolling(asciiDocs, "doc_id", "text", 8, 6)
+        .count())
     }
     s.stop()
   }

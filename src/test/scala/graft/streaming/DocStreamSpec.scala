@@ -69,11 +69,15 @@ class DocStreamSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(Seq(
         (4L, "beta gamma alpha", ts(3)), // cross-batch same set
-        (5L, "yet another doc", ts(4))))
+        (5L, "yet another doc", ts(4)),
+        // null-text docs must BOTH survive (batch emits no signature
+        // for them → never duplicates of each other)
+        (6L, null, ts(5)),
+        (7L, null, ts(6))))
       query.processAllAvailable()
       val ids = spark.table("sig_dedup_stream")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(ids === Set(1L, 3L, 5L))
+      assert(ids === Set(1L, 3L, 5L, 6L, 7L))
     } finally query.stop()
   }
 
