@@ -299,6 +299,45 @@ SELECT * FROM (
 ) WHERE jaccard >= $MinHashJaccard"""
   }
 
+  // ---- per-row signature groups (streaming-collapse key, batch-checked) ----
+
+  /** Signature GROUPS over the corpus using the PER-ROW signature
+    * (`TextOps.withMinhashSignature` — the streaming dedup key):
+    * one row per distinct full signature with its doc count and
+    * canonical (min) doc id. Oracle-pins the per-row signature values
+    * against DuckDB's aggregate recomputation, complementing the
+    * ScalaTest that pins per-row ≡ batch-aggregate. */
+  def sigGroups(spark: SparkSession, sf: String): DataFrame = {
+    val sigKey = concat_ws("_",
+      (0 until MinHashNum).map(k => col(s"sig$k")): _*)
+    TextOps.withMinhashSignature(
+      t(spark, sf, "documents").select("doc_id", "text"),
+      "text", MinHashNum)
+      .select(col("doc_id"), sigKey.as("sig_key"))
+      .groupBy("sig_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
+  }
+
+  val sigGroupsSql: String = {
+    val sigCols = (0 until MinHashNum).map(k =>
+      s"min((hm*${TextOps.minhashA(k)}+${TextOps.minhashB(k)})%${TextOps.MinHashP}) AS sig$k")
+      .mkString(",\n    ")
+    val keyCols = (0 until MinHashNum).map(k => s"sig$k").mkString(", ")
+    s"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT id, tok, (${hex2dec("md5(tok)")} % ${TextOps.MinHashP}) AS hm
+  FROM toks),
+sig AS (SELECT id, $sigCols FROM h GROUP BY id)
+SELECT concat_ws('_', $keyCols) AS sig_key,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(id) AS BIGINT) AS canonical
+FROM sig GROUP BY 1"""
+  }
+
   // ---- MinHash dedup clusters over a hot-bucket fixture ----
 
   private val MinHashClusterJ = 0.5
