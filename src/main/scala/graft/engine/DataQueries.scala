@@ -310,8 +310,13 @@ SELECT * FROM (
   def sigGroups(spark: SparkSession, sf: String): DataFrame = {
     val sigKey = concat_ws("_",
       (0 until MinHashNum).map(k => col(s"sig$k")): _*)
+    // null-text docs have NULL sig columns; concat_ws would skip them
+    // and give every such doc sig_key "" — while the oracle's unnest
+    // over a null token array drops those docs entirely. Filter them
+    // here so engine and oracle agree if the fixture ever gains nulls.
     TextOps.withMinhashSignature(
-      t(spark, sf, "documents").select("doc_id", "text"),
+      t(spark, sf, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull),
       "text", MinHashNum)
       .select(col("doc_id"), sigKey.as("sig_key"))
       .groupBy("sig_key")

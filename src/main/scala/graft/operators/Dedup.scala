@@ -39,8 +39,20 @@ object Dedup {
     * instead of O(log n) rounds of Spark jobs whose fixed scheduling
     * cost dwarfs the data (measured: a 106-node graph cost 8 s in
     * round overhead). The distributed loop remains the 100 TB path
-    * and is exercised by DedupSpec with the threshold forced to 0. */
-  val SmallGraphThreshold = 1000000L
+    * and is exercised by DedupSpec with the threshold forced to 0.
+    *
+    * The default is gated on DRIVER HEAP so a thin driver (e.g. the
+    * 1 GiB spark-submit default) never OOMs on the collects: the
+    * fast path's transient footprint is ~2.5 KB per collected row
+    * (boxed Row + hash-set membership + union-find map entries +
+    * result rows, with slack for both the node and edge collections
+    * being live at once), so the cap is maxMemory/2560 bounded above
+    * by 10⁶ — a 1 GiB driver gets ~420 k, a multi-GB driver the full
+    * million. Callers with tighter budgets pass their own threshold
+    * (plumbed through [[dedupClusters]] and
+    * `TextOps.minhashDedupClusters`); see README "Driver sizing". */
+  val SmallGraphThreshold: Long =
+    math.min(1000000L, Runtime.getRuntime.maxMemory() / 2560)
 
   /** Component id (minimum reachable vertex id) for every vertex in
     * `nodes`, including isolated ones.
@@ -88,7 +100,10 @@ object Dedup {
       () => { adj0.unpersist(false); () })
     val adj = reroot(adj0)
 
-    val idField = nodes.schema.fields.head
+    // by NAME, not ordinal — a nodes frame where "id" is not the
+    // first column must not gate the fast path (or stamp the output
+    // schema) on some other field's type/nullability
+    val idField = nodes.schema("id")
     val labels0 = nodes.select(col("id"), col("id").as("comp"))
       .persist()
     // a failed initial materialization (or fast-path collect) must not
@@ -242,7 +257,8 @@ object Dedup {
     * canonical flag (the component's minimum id survives; the rest
     * are the removable duplicates). */
   def dedupClusters(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame =
-    connectedComponents(nodes, pairs, maxIter)
+      maxIter: Int = 50,
+      smallGraphThreshold: Long = SmallGraphThreshold): DataFrame =
+    connectedComponents(nodes, pairs, maxIter, smallGraphThreshold)
       .withColumn("is_canonical", (col("id") === col("comp")))
 }

@@ -99,9 +99,19 @@ object TextOps {
       tokens(col(textCol)).as("t"))
       .select(col("id"), col("t"),
         length(concat_ws("", col("t"))).as("wc"))
-      .persist()
-    graft.engine.Caches.register(df.sparkSession,
-      () => { base.unpersist(false); () })
+    // The cache pays only when SEVERAL n share the tokenized base —
+    // a single-n call leaves nothing registered behind (the caller
+    // may never drain, and one extra source scan for the id join is
+    // cheaper than a pinned corpus-sized frame). Multi-references
+    // inside one gram pipeline are safe uncached: `t` is read ≥2
+    // times downstream, so CollapseProject keeps the projection
+    // boundary and the HOF lambdas stay linear (staged-projection
+    // rule — see the winnowing scaladoc).
+    if (ns.size > 1) {
+      base.persist()
+      graft.engine.Caches.register(df.sparkSession,
+        () => { base.unpersist(false); () })
+    }
     // wc > 0 guards the fraction: a whitespace-only doc can tokenize
     // to empty-string tokens (size >= n) with ZERO word chars — its
     // gram would score 0/0 = NaN here and engine-dependently in SQL
@@ -315,7 +325,17 @@ object TextOps {
   private def contentGroups(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ckey")
-    df.select(col(idCol).as("id"), tokenSetKey(col(textCol)).as("ckey"))
+    // null-text docs have no token set: tokenSetKey's concat_ws over
+    // the null array would yield md5("") and group them with
+    // whitespace-only docs — but the batch tokenHashes path (and the
+    // q_minhash_lsh oracle, and signatureDedupStream) all treat
+    // null-text docs as NEVER being duplicates. Key each uniquely by
+    // its own id, mirroring DocStream's convention (the \u0000 prefix
+    // cannot collide with an md5 hex key).
+    val ckey = when(col(textCol).isNull,
+      concat(lit("\u0000id:"), col(idCol).cast("string")))
+      .otherwise(tokenSetKey(col(textCol)))
+    df.select(col(idCol).as("id"), ckey.as("ckey"))
       .withColumn("rid", min("id").over(w))
   }
 
@@ -435,7 +455,9 @@ object TextOps {
     * not 10¹². */
   def minhashDedupClusters(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, numBands: Int, minJaccard: Double,
-      maxBandFreq: Int): DataFrame = {
+      maxBandFreq: Int,
+      smallGraphThreshold: Long =
+        graft.operators.Dedup.SmallGraphThreshold): DataFrame = {
     val spark = df.sparkSession
     val members = contentGroups(df, idCol, textCol).persist()
     graft.engine.Caches.register(spark,

@@ -70,6 +70,30 @@ class HotBucketSpec extends SparkSpec
     }
   }
 
+  test("null-text docs are never duplicates (of each other or of " +
+      "whitespace-only docs) — engine matches the oracle's semantics") {
+    import spark.implicits._
+    // tokenHashes drops null-text docs (no token rows), so the batch
+    // path, the q_minhash_lsh DuckDB oracle and signatureDedupStream
+    // all treat them as never-duplicates; contentGroups must agree
+    // (md5 of the null token set would otherwise equal md5("") — the
+    // whitespace-only doc's key)
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "   "), (4L, "aa bb"), (5L, "aa bb")).toDF("doc_id", "text")
+    val pairs = TextOps.minhashDedup(docs, "doc_id", "text",
+      numHashes = 8, numBands = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq.sorted === Seq((4L, 5L)))
+    val clusters = TextOps.minhashDedupClusters(docs, "doc_id", "text",
+      numHashes = 8, numBands = 4, minJaccard = 0.5, maxBandFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(clusters(1L) && clusters(2L) && clusters(3L),
+      "null-text / whitespace docs must each be their own canonical")
+    assert(Seq(4L, 5L).count(clusters(_)) === 1,
+      "the real duplicate pair keeps exactly one canonical")
+  }
+
   test("minhashDedupClusters puts the 10³ cluster in one component " +
       "with one canonical doc; singletons stay alone") {
     val out = graft.engine.DataQueries.minhashClusters(spark, "")

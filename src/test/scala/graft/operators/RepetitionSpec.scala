@@ -61,6 +61,21 @@ class RepetitionSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  test("single-n topNgramSignal registers NO session cache; multi-n one") {
+    import spark.implicits._
+    graft.engine.Caches.drain(spark)
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // single n: no persist — a caller that never drains must not hold
+    // a corpus-sized frame until the MaxPending bound evicts it
+    TextOps.topNgramSignal(df, "doc_id", "text", 2).collect()
+    assert(graft.engine.Caches.pending(spark) === 0)
+    // several n: the shared tokenized base IS cached (and registered)
+    TextOps.topNgramSignals(df, "doc_id", "text", Seq(2, 3)).collect()
+    assert(graft.engine.Caches.pending(spark) === 1)
+    graft.engine.Caches.drain(spark)
+    assert(graft.engine.Caches.pending(spark) === 0)
+  }
+
   test("topNgramSignal n=3 and fixture discriminates") {
     import spark.implicits._
     val df = Seq((1L, "p q p q p q")).toDF("doc_id", "text")
