@@ -185,9 +185,8 @@ object ZonalJob {
       // falling back to a legacy flat manifest.json) — reading the
       // flat path alone would stop tracking content changes on
       // versioned tables and the memo would serve stale CSVs
-      val man = graft.sources.TileTable.currentManifestPath(p)
-      sb.append(if (Files.exists(man)) Files.readString(man) else "?")
-        .append('\n')
+      sb.append(graft.sources.TileTable.currentManifestJson(p)
+        .getOrElse("?")).append('\n')
     }
     val vec = Paths.get(job.aggVector)
     val walk = Files.walk(vec, 2)

@@ -175,24 +175,14 @@ object TileTable {
 
   private val mapper = new ObjectMapper()
 
-  /** The table mutation protocol (conditional manifest put +
-    * O_EXCL/rename lock files) is implemented against a LOCAL
-    * filesystem; an object-store root would silently get
-    * check-then-act semantics instead of a conditional put, so refuse
-    * LOUDLY and name the port point. */
-  private[sources] def requireLocalRoot(root: String): Unit = {
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
-      .findFirstMatchIn(root).map(_.group(1))
-    scheme.filter(_ != "file").foreach { s =>
-      throw new UnsupportedOperationException(
-        s"TileTable mutation requires a local filesystem root, got " +
-          s"'$s://' ($root). Port point: swap TileTable.commitHeadJson " +
-          "for the store's conditional put (S3 PutObject with " +
-          "If-None-Match:*, GCS x-goog-if-generation-match:0) and " +
-          "TileTable.withTableLock for a lease/DynamoDB-style mutex; " +
-          "the rest of the protocol is store-agnostic.")
-    }
-  }
+  /** The metadata plane (manifest commit, segments, lock, vacuum
+    * aging) runs entirely through [[ManifestStore.forRoot]]: local
+    * roots get the POSIX hard-link conditional put, registered
+    * backends (object stores, the in-memory CAS test double) get
+    * theirs, and an unregistered non-`file` scheme is refused loudly
+    * with the port point named (see [[ManifestStore.forRoot]]). */
+  private def store(root: String): ManifestStore =
+    ManifestStore.forRoot(root)
 
   /** Prune index over a manifest's file entries: cell bounds copied
     * into primitive arrays ONCE per opened table (traversing 10^6
@@ -264,7 +254,7 @@ object TileTable {
     // overwrite below would delete the part files an existing table's
     // live manifest references, corrupting it before writeManifest's
     // own guard could refuse
-    requireLocalRoot(root)
+    store(root) // resolve early: refuse unregistered schemes loudly
     require(!exists(root),
       s"TileTable.write is initial-creation only but $root already " +
         "holds a table — append with appendBatch, rewrite with " +
@@ -347,45 +337,31 @@ object TileTable {
     *     was stolen cannot free its successor's lock on the way out. */
   private[sources] def withTableLock[A](root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
-    requireLocalRoot(root)
-    val lock = Paths.get(root, "_lock")
+    val st = store(root)
+    val lock = "_lock"
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var held = false
     while (!held) {
-      try {
-        Files.createFile(lock)
-        try { Files.writeString(lock, token); held = true }
-        catch {
-          case _: Exception =>
-            // an untokened lock could never be released (the owner
-            // check would always miss) — give it up and retry rather
-            // than wedge the table for staleMs
-            Files.deleteIfExists(lock)
-            Thread.sleep(50)
+      // conditional put of the TOKEN ITSELF: content is atomic with
+      // creation, so an untokened lock (the old two-step create+write
+      // hazard) cannot exist
+      if (st.putStringIfAbsent(lock, token)) held = true
+      else {
+        val age = st.mtimeMs(lock)
+          .map(System.currentTimeMillis() - _).getOrElse(0L)
+        if (age > staleMs) {
+          // no heartbeat for staleMs: crashed holder — steal via
+          // atomic rename; only the winning renamer observes true
+          val tomb = s"_lock.stale.${java.util.UUID.randomUUID()}"
+          if (st.renameIfExists(lock, tomb)) st.delete(tomb)
         }
-      }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: Exception => 0L }
-          if (age > staleMs) {
-            // no heartbeat for staleMs: crashed holder — steal via
-            // atomic rename; only the winning renamer observes success
-            val tomb = Paths.get(root,
-              s"_lock.stale.${java.util.UUID.randomUUID()}")
-            try {
-              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(tomb)
-            } catch { case _: Exception => () }
-          }
-          else if (System.nanoTime() > deadline)
-            throw new IllegalStateException(s"timed out on $lock")
-          else Thread.sleep(50)
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(s"timed out on $root/$lock")
+        else Thread.sleep(50)
       }
       if (!held && System.nanoTime() > deadline)
-        throw new IllegalStateException(s"timed out on $lock")
+        throw new IllegalStateException(s"timed out on $root/$lock")
     }
     val beat = new Thread(() => {
       var live = true
@@ -396,21 +372,10 @@ object TileTable {
           // verify ownership BEFORE touching: a zombie must neither
           // keep its stolen lock's successor looking alive nor keep
           // beating a lock that is no longer its own
-          val owner =
-            try Some(Files.readString(lock))
-            catch {
-              case _: java.nio.file.NoSuchFileException => None
-              case _: Exception => Some(token) // transient: retry later
-            }
-          owner match {
+          st.readString(lock) match {
             case Some(t) if t == token =>
-              try Files.setLastModifiedTime(lock,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  System.currentTimeMillis()))
-              catch {
-                case _: java.nio.file.NoSuchFileException => live = false
-                case _: Exception => () // transient: beat again next tick
-              }
+              try st.touch(lock)
+              catch { case _: Exception => () } // gone/transient: next tick or ownership check ends it
             case Some(_) => live = false // stolen: stop beating
             case None => live = false // gone: stop beating
           }
@@ -421,14 +386,14 @@ object TileTable {
     beat.start()
     try body finally {
       beat.interrupt()
-      // owned release: never delete a successor's lock. (readString →
+      // owned release: never delete a successor's lock. (read →
       // delete is not atomic; the residual window needs the heartbeat
       // to have been dead past staleMs AND a steal landing in the
       // microseconds between the two calls — and even then the
       // manifest layer tolerates coexisting holders: commits are
       // conditional and compact aborts on a stale rewrite.)
       try {
-        if (Files.readString(lock) == token) Files.deleteIfExists(lock)
+        if (st.readString(lock).contains(token)) st.delete(lock)
       } catch { case _: Exception => () }
     }
   }
@@ -436,45 +401,37 @@ object TileTable {
   // ---- versioned manifest commit -----------------------------------
   //
   // The manifest is a chain of IMMUTABLE versions `manifest-v<N>.json`
-  // published with a CONDITIONAL PUT: the file is staged to a temp
-  // name and linked into place with Files.createLink, which is atomic
-  // and FAILS if the target exists (link(2) EEXIST) — so of two racing
-  // committers of version N, exactly one wins and the other re-reads
-  // and retries on top of the winner's manifest. Unlike a plain
-  // rename, there is no check-then-move window. Readers resolve the
-  // highest version present. This removes the POSIX-lock correctness
-  // dependency the flat manifest.json had; on an object store the
-  // same protocol needs the store's conditional-put (S3
-  // If-None-Match / GCS generation-0 precondition) behind
-  // [[commitManifest]] — the one method a port has to swap.
-  // Legacy tables with only `manifest.json` read as version 0 and
-  // upgrade on their first mutation.
+  // published with a CONDITIONAL PUT ([[ManifestStore.putIfAbsent]]):
+  // of two racing committers of version N, exactly one wins and the
+  // other re-reads and retries on top of the winner's manifest —
+  // there is no check-then-move window. Readers resolve the highest
+  // version present. The put is stage-then-link(2) locally (EEXIST =
+  // loser), the store's conditional write on an object store (S3
+  // If-None-Match / GCS generation-0 precondition), CAS in the test
+  // double — the protocol itself is store-agnostic and proven against
+  // conditional-put semantics alone in TileTableCommitSpec's CAS
+  // matrix. Legacy tables with only `manifest.json` read as version 0
+  // and upgrade on their first mutation.
 
   private val ManifestV = "manifest-v(\\d+)\\.json".r
 
   /** Highest committed manifest version (0 = legacy manifest.json or
     * empty). */
-  def currentVersion(root: String): Int = {
-    if (!Files.isDirectory(Paths.get(root))) return 0
-    val s = Files.list(Paths.get(root))
-    try {
-      s.iterator().asScala.flatMap(p => p.getFileName.toString match {
-        case ManifestV(n) => Some(n.toInt)
-        case _ => None
-      }).foldLeft(0)(math.max)
-    } finally s.close()
-  }
+  def currentVersion(root: String): Int =
+    store(root).list("").flatMap {
+      case ManifestV(n) => Some(n.toInt)
+      case _ => None
+    }.foldLeft(0)(math.max)
 
-  private def manifestPath(root: String, version: Int) =
-    if (version == 0) Paths.get(root, "manifest.json")
-    else Paths.get(root, s"manifest-v$version.json")
+  private def manifestRel(version: Int): String =
+    if (version == 0) "manifest.json" else s"manifest-v$version.json"
 
-  /** Path of the manifest a reader would resolve right now — for
-    * callers that fingerprint table CONTENT (job memoization): the
-    * flat manifest.json alone goes stale the moment the table has
-    * versioned commits. */
-  def currentManifestPath(root: String): java.nio.file.Path =
-    manifestPath(root, currentVersion(root))
+  /** JSON of the manifest a reader would resolve right now (None for
+    * a root with no table) — for callers that fingerprint table
+    * CONTENT (job memoization): the flat manifest.json alone goes
+    * stale the moment the table has versioned commits. */
+  def currentManifestJson(root: String): Option[String] =
+    store(root).readString(manifestRel(currentVersion(root)))
 
   // ---- segmented file lists ----------------------------------------
   //
@@ -512,14 +469,15 @@ object TileTable {
 
   private def loadSegment(root: String, ref: SegmentRef): Seq[TileFileStat] =
     parseFiles(mapper.readTree(
-      Files.readString(Paths.get(root, ref.path))).get("files"))
+      store(root).readString(ref.path).getOrElse(
+        throw new java.nio.file.NoSuchFileException(
+          s"$root/${ref.path}"))).get("files"))
 
   /** Write `files` as a new immutable segment, returning its ref. */
   private def writeSegment(root: String,
       files: Seq[TileFileStat]): SegmentRef = {
-    Files.createDirectories(Paths.get(root, SegDir))
     val rel = s"$SegDir/segment-${java.util.UUID.randomUUID()}.json"
-    Files.writeString(Paths.get(root, rel), segmentJson(files))
+    store(root).putString(rel, segmentJson(files))
     SegmentRef(rel, files.length,
       if (files.isEmpty) 0L else files.map(_.cellMin).min,
       if (files.isEmpty) 0L else files.map(_.cellMax).max)
@@ -527,15 +485,21 @@ object TileTable {
 
   /** Segment refs of a head version (empty for legacy inline heads or
     * version 0). */
-  private def headSegments(root: String, version: Int): Seq[SegmentRef] = {
-    val p = manifestPath(root, version)
-    if (!Files.exists(p)) return Nil
-    val j = mapper.readTree(Files.readString(p))
-    Option(j.get("segments")).map(_.elements().asScala.map { s =>
-      SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
-        s.get("cellMin").asLong(), s.get("cellMax").asLong())
-    }.toSeq).getOrElse(Nil)
-  }
+  private def headSegments(root: String, version: Int): Seq[SegmentRef] =
+    store(root).readString(manifestRel(version)) match {
+      case None => Nil
+      case Some(txt) =>
+        val j = mapper.readTree(txt)
+        Option(j.get("segments")).map(_.elements().asScala.map { s =>
+          SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
+            s.get("cellMin").asLong(), s.get("cellMax").asLong())
+        }.toSeq).getOrElse(Nil)
+    }
+
+  /** Segment object paths the CURRENT head references (test/debug
+    * visibility into the metadata plane). */
+  private[sources] def currentSegmentPaths(root: String): Set[String] =
+    headSegments(root, currentVersion(root)).map(_.path).toSet
 
   /** Conditionally publish `m` as `version`; false = that version was
     * committed first by someone else (caller re-reads and retries).
@@ -547,8 +511,7 @@ object TileTable {
   private[sources] def commitManifest(root: String, m: TileManifest,
       version: Int): Boolean = {
     require(version >= 1, "versions start at 1")
-    requireLocalRoot(root)
-    Files.createDirectories(Paths.get(root))
+    store(root) // resolve early: refuse unregistered schemes loudly
     val byPath = m.files.map(f => f.path -> f).toMap
     val prior = headSegments(root, version - 1)
       .map(ref => ref -> loadSegment(root, ref))
@@ -563,23 +526,14 @@ object TileTable {
     commitHeadJson(root, headJson(m, segs), version)
   }
 
-  /** The conditional-put primitive: stage to a temp name and
-    * Files.createLink into place — atomic, FAILS if the target exists
-    * (link(2) EEXIST), so of two racing committers of a version
-    * exactly one wins (no check-then-move window). On an object store
-    * this is the ONE method to swap (see [[requireLocalRoot]]). */
+  /** The conditional-put publication: exactly one of several racing
+    * committers of a version wins. Delegated to the root's
+    * [[ManifestStore]] — POSIX stage-then-link locally, the store's
+    * conditional write (S3 If-None-Match / GCS generation-0) on an
+    * object store, CAS in the test double. */
   private def commitHeadJson(root: String, json: String,
-      version: Int): Boolean = {
-    val tmp = Paths.get(root,
-      s".manifest.tmp.${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    try {
-      Files.createLink(manifestPath(root, version), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
-  }
+      version: Int): Boolean =
+    store(root).putStringIfAbsent(manifestRel(version), json)
 
   /** Optimistic read-modify-write of the manifest: applies `f` to the
     * current manifest and commits as the next version, retrying from
@@ -809,8 +763,9 @@ object TileTable {
   }
 
   def open(root: String): TileTable = {
-    val j = mapper.readTree(
-      Files.readString(manifestPath(root, currentVersion(root))))
+    val rel = manifestRel(currentVersion(root))
+    val j = mapper.readTree(store(root).readString(rel).getOrElse(
+      throw new java.nio.file.NoSuchFileException(s"$root/$rel")))
     require(j.get("format").asText() == FormatName,
       s"not a $FormatName table: $root")
     val g = j.get("grid")
@@ -850,7 +805,7 @@ object TileTable {
   }
 
   def exists(root: String): Boolean =
-    Files.exists(Paths.get(root, "manifest.json")) ||
+    store(root).read("manifest.json").isDefined ||
       currentVersion(root) > 0
 
   /** Parent directory name of a manifest file path (the generation
@@ -869,9 +824,17 @@ object TileTable {
     * (default = the lock's staleness window): if a wedged
     * append/compact ever overruns the lock's stale-steal threshold,
     * its actively-written directory still looks fresh and survives —
-    * a lost-lock race can cost a manifest update, never data. */
+    * a lost-lock race can cost a manifest update, never data.
+    *
+    * Manifest/segment aging runs through the root's [[ManifestStore]];
+    * the DATA-directory walk below is the one remaining direct-FS
+    * dependency (data files are written by Spark's Hadoop filesystem —
+    * an object-store deployment swaps this walk for the Hadoop
+    * FileSystem listing API; it is plain listing+delete, no atomicity
+    * required). */
   def vacuum(root: String,
       graceMs: Long = 10 * 60 * 1000L): Seq[String] = withTableLock(root) {
+    val st = store(root)
     val current = currentVersion(root)
     val t = open(root)
     val referenced = t.manifest.files.map(f => parentDir(f.path)).toSet
@@ -901,54 +864,36 @@ object TileTable {
     // day. In-flight committers always target currentVersion+1,
     // which is never below `current`, so this can't race a commit.
     def supersededAt(v: Int): Long =
-      try Files.getLastModifiedTime(manifestPath(root, v + 1)).toMillis
-      catch {
-        case _: Exception =>
-          // successor already GC'd (e.g. a crash mid-pass): the
-          // supersession is at least as old as the version itself —
-          // fall back to its own mtime rather than retaining a stale
-          // manifest forever
-          try Files.getLastModifiedTime(manifestPath(root, v)).toMillis
-          catch { case _: Exception => Long.MaxValue }
-      }
+      st.mtimeMs(manifestRel(v + 1)).orElse {
+        // successor already GC'd (e.g. a crash mid-pass): the
+        // supersession is at least as old as the version itself —
+        // fall back to its own mtime rather than retaining a stale
+        // manifest forever
+        st.mtimeMs(manifestRel(v))
+      }.getOrElse(Long.MaxValue)
     // legacy v0 first: it has no dependents, and deleting it before
     // v1 means a crash mid-pass can never orphan it behind a missing
     // successor
     val manifestGc = ((if (current > 0) Seq(0) else Nil) ++
       (1 until current))
-      .filter { v =>
-        val p = manifestPath(root, v)
-        try Files.exists(p) && supersededAt(v) < cutoff
-        catch { case _: Exception => false }
-      }
-    manifestGc.foreach { v =>
-      try Files.deleteIfExists(manifestPath(root, v))
-      catch { case _: Exception => () } // one failure mustn't abort GC
-    }
+      .filter(v => st.mtimeMs(manifestRel(v)).isDefined &&
+        supersededAt(v) < cutoff)
+    manifestGc.foreach(v => st.delete(manifestRel(v)))
     // segment GC: a segment is retired once NO manifest version still
-    // on disk references it (losers of commit races, and segments of
+    // present references it (losers of commit races, and segments of
     // heads the pass above just deleted). The same grace window
     // protects a segment a racing commit wrote microseconds ago whose
     // head hasn't landed yet.
-    val segDir = Paths.get(root, SegDir)
-    if (Files.isDirectory(segDir)) {
+    val segNames = st.list(SegDir).filter(_.startsWith("segment-"))
+    if (segNames.nonEmpty) {
       val liveVersions = (0 to currentVersion(root))
-        .filter(v => Files.exists(manifestPath(root, v)))
+        .filter(v => st.mtimeMs(manifestRel(v)).isDefined)
       val referencedSegs = liveVersions
         .flatMap(v => headSegments(root, v)).map(_.path).toSet
-      val segs = Files.list(segDir)
-      try {
-        segs.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("segment-"))
-          .filter(p => !referencedSegs.contains(
-            s"$SegDir/${p.getFileName}"))
-          .filter(p =>
-            try Files.getLastModifiedTime(p).toMillis < cutoff
-            catch { case _: Exception => false })
-          .foreach(p =>
-            try Files.deleteIfExists(p)
-            catch { case _: Exception => () })
-      } finally segs.close()
+      segNames
+        .filter(n => !referencedSegs.contains(s"$SegDir/$n"))
+        .filter(n => st.mtimeMs(s"$SegDir/$n").exists(_ < cutoff))
+        .foreach(n => st.delete(s"$SegDir/$n"))
     }
     removable.sorted
   }

@@ -337,6 +337,124 @@ class TileTableCommitSpec extends SparkSpec {
     assert(TileTable.open(dir).manifest.files.nonEmpty)
   }
 
+  // ---- the mutation protocol against CONDITIONAL-PUT SEMANTICS ALONE
+  //
+  // Everything below runs the metadata plane through InMemoryCasStore
+  // — the S3 If-None-Match / GCS generation-0 shape — registered for
+  // the table root. Data files still land on local disk through
+  // Spark (the data plane needs no atomicity), but every manifest,
+  // segment, lock and mtime flows through the double, proving the
+  // commit/lock/vacuum/replay protocol assumes nothing POSIX.
+
+  private def withCasStore[A](f: (String, InMemoryCasStore) => A): A = {
+    val dir = Files.createTempDirectory("graft-cas").toString
+    val store = new InMemoryCasStore
+    ManifestStore.register(dir, store)
+    try f(dir, store) finally ManifestStore.unregister(dir)
+  }
+
+  test("CAS store: full append / replay / compact / replay-after-" +
+      "compact / vacuum matrix") {
+    withCasStore { (dir, store) =>
+      TileTable.write(spark, Synth.tiles(spark, grid), grid,
+        Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+      // the metadata plane really is in the double, not on disk
+      assert(!Files.exists(Paths.get(dir, "manifest-v1.json")),
+        "manifest bypassed the registered store onto local disk")
+      assert(store.keys.exists(_.startsWith("manifest-v")))
+      assert(store.keys.exists(_.startsWith("seg/segment-")))
+      val n0 = TileTable.open(dir).read(spark).count()
+      assert(n0 === grid.numTiles)
+
+      val one = Synth.tiles(spark, grid)
+        .where(col("image_id") === "tile_0000_0000")
+      TileTable.appendBatch(spark, dir, one, batchId = 3L)
+      assert(TileTable.open(dir).read(spark).count() === n0 + 1)
+      TileTable.appendBatch(spark, dir, one, batchId = 3L) // replay
+      assert(TileTable.open(dir).read(spark).count() === n0 + 1,
+        "replayed batch duplicated rows on the CAS store")
+
+      TileTable.compact(spark, dir, numFiles = 2)
+      assert(TileTable.open(dir).manifest.committedBatches === Seq(3L))
+      TileTable.appendBatch(spark, dir, one, batchId = 3L) // post-compact
+      assert(TileTable.open(dir).read(spark).count() === n0 + 1,
+        "batch replayed after compact duplicated rows on the CAS store")
+
+      // vacuum: age EVERY object (including the current head — a
+      // superseded version ages from its SUCCESSOR's commit time, and
+      // the current head itself is never in the GC range) via the
+      // double's clock hook, no sleeps, then collect
+      val current = TileTable.currentVersion(dir)
+      assert(current >= 3)
+      store.keys.foreach(k => store.setMtime(k, 1L))
+      TileTable.vacuum(dir, graceMs = 1000L)
+      val left = store.keys
+      assert(left.count(_.startsWith("manifest-v")) === 1,
+        s"superseded heads survived vacuum: $left")
+      val liveSegs = TileTable.currentSegmentPaths(dir)
+      assert(left.filter(_.startsWith("seg/")).toSet === liveSegs,
+        "vacuum left unreferenced segments (or ate referenced ones)")
+      assert(TileTable.open(dir).read(spark).count() === n0 + 1)
+    }
+  }
+
+  test("CAS store: a commit losing the race inside the CAS window " +
+      "retries and both updates survive") {
+    withCasStore { (dir, store) =>
+      TileTable.write(spark, Synth.tiles(spark, grid), grid,
+        Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+      val t = TileTable.open(dir)
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      // fire a competing commit in the EXACT window between our
+      // read-current-version and our conditional put — the race a
+      // distributed store exposes that a single-host lock hides
+      store.beforePutIfAbsent = { rel =>
+        if (rel.startsWith("manifest-v") &&
+            injected.compareAndSet(false, true)) {
+          val v = TileTable.currentVersion(dir)
+          assert(TileTable.commitManifest(dir, t.manifest.copy(
+            writerBatches =
+              Map(TileTable.DefaultWriter -> Seq(7L))), v + 1))
+        }
+      }
+      val out = TileTable.mutateManifest(dir) { m =>
+        attempts.incrementAndGet()
+        Some(m.copy(writerBatches = Map(TileTable.DefaultWriter ->
+          (m.committedBatches :+ 9L))))
+      }
+      assert(attempts.get() === 2,
+        "loser of the CAS race must re-read and retry")
+      assert(out.manifest.committedBatches === Seq(7L, 9L),
+        "an update was lost to the race")
+    }
+  }
+
+  test("CAS store: stale lock is stolen via the store's rename; a " +
+      "fresh lock is not") {
+    withCasStore { (dir, store) =>
+      // a crashed holder: token present, heartbeat long dead
+      assert(store.putIfAbsent("_lock", "dead-token".getBytes))
+      store.setMtime("_lock", 1L)
+      var ran = false
+      TileTable.withTableLock(dir, staleMs = 400L) { ran = true }
+      assert(ran, "stale lock on the CAS store was never stolen")
+      assert(store.read("_lock").isEmpty, "lock not released after body")
+      // and a LIVE (fresh-mtime) holder's lock must survive a waiter's
+      // staleness check — the waiter spins, never steals
+      assert(store.putIfAbsent("_lock", "live-token".getBytes))
+      val waiter = new Thread(() =>
+        try TileTable.withTableLock(dir, staleMs = 60000L) { () }
+        catch { case _: InterruptedException => () })
+      waiter.setDaemon(true)
+      waiter.start()
+      Thread.sleep(600)
+      assert(store.readString("_lock").contains("live-token"),
+        "waiter stole a fresh (non-stale) lock")
+      waiter.interrupt()
+    }
+  }
+
   test("10^6-entry manifest prunes via binary search in < 50 ms") {
     val n = 1000000
     // cell-sorted entries with occasional overlap (streaming appends)
