@@ -76,6 +76,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
     "q_minhash_clusters" -> ((s, sf) => DQ.minhashClusters(s, sf)),
     "q_sig_groups" -> ((s, sf) => DQ.sigGroups(s, sf)),
+    "q_stream_sigdedup" -> ((s, sf) => DQ.streamSigDedup(s, sf)),
     "q_winnow_fps" -> ((s, sf) => DQ.winnowFps(s, sf)),
     "q_winnow_rolling" -> ((s, sf) => DQ.winnowRolling(s, sf)),
     "q_winnow_rolling_pairs" -> ((s, sf) => DQ.winnowRollingPairs(s, sf)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_minhash_lsh" -> DQ.minhashLshSql,
     "q_minhash_clusters" -> DQ.minhashClustersSql,
     "q_sig_groups" -> DQ.sigGroupsSql,
+    "q_stream_sigdedup" -> DQ.streamSigDedupSql,
     "q_winnow_fps" -> DQ.winnowFpsSql,
     "q_winnow_rolling" -> DQ.winnowRollingSql,
     "q_winnow_rolling_pairs" -> DQ.winnowRollingPairsSql,

@@ -343,6 +343,100 @@ SELECT concat_ws('_', $keyCols) AS sig_key,
 FROM sig GROUP BY 1"""
   }
 
+  // ---- streaming signature dedup, batch-replay-checked ----
+
+  /** Streaming signature-dedup survivors over the documents corpus,
+    * driven through [[graft.streaming.DocStream.signatureDedupStream]]
+    * as a DETERMINISTIC micro-batch replay: the rn-th occurrence of
+    * each signature (rn = row_number by doc_id within the signature
+    * group) lands in micro-batch rn, so no two same-key docs ever
+    * share a batch and the survivor set is pinned by batch order
+    * alone — the first-arriving (min doc_id) doc of every signature
+    * group survives, which is exactly what the DuckDB oracle
+    * recomputes from the corpus. This puts the streaming operator
+    * under the house oracle, not just ScalaTest: if the stream ever
+    * dropped a first occurrence, passed a repeat, or mangled the
+    * per-row signature, the survivor set diverges.
+    *
+    * Batch count is capped at 8: determinism only needs each group's
+    * FIRST occurrence isolated in an earlier batch than the rest —
+    * every rn ≥ 2 doc is dropped against state already planted by
+    * batch 1, so later occurrences may share batches freely (without
+    * the cap the replay runs one micro-batch per max-group-size:
+    * ~300 batches ≈ 45 s of scheduling for identical semantics).
+    *
+    * Harness-scale by nature (the corpus is collected to feed the
+    * MemoryStream) — the production path is a real source feeding the
+    * same operator; state is one key per watermark horizon. The
+    * watermark (1 h) exceeds the fixture's total event-time span
+    * (doc_id seconds), so no key is evicted mid-replay and no row is
+    * late — arrival order is the only semantics under test. */
+  def streamSigDedup(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val sigKey = concat_ws("_",
+      (0 until MinHashNum).map(k => col(s"sig$k")): _*)
+    val staged = TextOps.withMinhashSignature(
+      t(spark, sf, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull), "text", MinHashNum)
+      .select(col("doc_id"), col("text"), sigKey.as("sig_key"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy("sig_key").orderBy("doc_id")))
+      .select("doc_id", "text", "rn")
+    val byBatch = staged.collect()
+      .map(r => (r.getLong(0), r.getString(1), math.min(r.getInt(2), 8)))
+      .groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (rn, xs) => rn -> xs.sortBy(_._1) }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docsDf = input.toDF().toDF("doc_id", "text", "event_time")
+    val out = graft.streaming.DocStream.signatureDedupStream(
+      docsDf, "doc_id", "text", MinHashNum, "1 hour")
+    // unique sink name per invocation: the memory sink registers a
+    // session temp view, and a warm rep must not collide with it
+    val qname = "sig_dedup_replay_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      byBatch.foreach { case (_, docs) =>
+        input.addData(docs.map { case (id, text, _) =>
+          (id, text, new java.sql.Timestamp(t0 + id * 1000L)) })
+        query.processAllAvailable()
+      }
+      val survivors = spark.table(qname)
+        .select("doc_id", "sig_key").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // re-materialize locally so the returned frame outlives the sink
+      survivors.toDF("doc_id", "sig_key")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
+  val streamSigDedupSql: String = {
+    val sigCols = (0 until MinHashNum).map(k =>
+      s"min((hm*${TextOps.minhashA(k)}+${TextOps.minhashB(k)})%${TextOps.MinHashP}) AS sig$k")
+      .mkString(",\n    ")
+    val keyCols = (0 until MinHashNum).map(k => s"sig$k").mkString(", ")
+    s"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT id, tok, (${hex2dec("md5(tok)")} % ${TextOps.MinHashP}) AS hm
+  FROM toks),
+sig AS (SELECT id, $sigCols FROM h GROUP BY id)
+SELECT CAST(min(id) AS BIGINT) AS doc_id,
+  concat_ws('_', $keyCols) AS sig_key
+FROM sig GROUP BY $keyCols"""
+  }
+
   // ---- MinHash dedup clusters over a hot-bucket fixture ----
 
   private val MinHashClusterJ = 0.5
