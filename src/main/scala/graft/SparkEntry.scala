@@ -44,6 +44,7 @@ object SparkEntry {
     "q_knn_zones" -> ((s, sf) => EQ.knnZones(s, sf)),
     "q_tile_stats" -> ((s, _) => EQ.tileStats(s)),
     "q_image_resize" -> ((s, _) => EQ.imageResize(s)),
+    "q_jpeg_psnr" -> ((s, _) => EQ.jpegPsnr(s)),
     "q_image_dhash" -> ((s, _) => EQ.imageDhash(s)),
     "q_image_neardup" -> ((s, _) => EQ.imageNearDup(s)),
     "q_image_clusters" -> ((s, _) => EQ.imageClusters(s)),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_knn_zones" -> EQ.knnZonesSql,
     "q_tile_stats" -> EQ.tileStatsSql,
     "q_image_resize" -> EQ.imageResizeSql,
+    "q_jpeg_psnr" -> EQ.jpegPsnrSql,
     "q_image_dhash" -> EQ.imageDhashSql,
     "q_image_neardup" -> EQ.imageNearDupSql,
     "q_image_clusters" -> EQ.imageClustersSql,

@@ -718,6 +718,54 @@ SELECT printf('tile_%04d_%04d', gr // 16, gc // 16) AS image_id,
   SUM(v) AS sum_px
 FROM px WHERE gr % 2 = 0 AND gc % 2 = 0 GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // Lossy (JPEG) decode contract — oracle-adjacent PSNR gate
+  // ---------------------------------------------------------------
+
+  /** The input_hint's lossy-decode invariant ("decoded pixels
+    * allclose at PSNR ≥ 40 dB for lossy formats") as a DRIVER query,
+    * not just a CodecSpec assertion: each fixture row carries the
+    * ground-truth raw encoding AND the JPEG encoding of the same
+    * smooth gradient field; the engine decodes BOTH through the
+    * production decode expression and emits the SQL-replicable truth
+    * stats plus a `psnr_ge_40` boolean (mse ≤ 255²/10⁴ ⟺
+    * PSNR ≥ 40 dB at peak 255 — no log needed, exact threshold).
+    * DuckDB recomputes the truth columns from the pixel formula and
+    * asserts the boolean literally TRUE — a broken or drifting JPEG
+    * decode flips the boolean and the hash compare goes red (the
+    * bounds-check oracle pattern of q_zonal_gk_pct /
+    * q_approx_distinct). CodecSpec proves the gate discriminates
+    * (a wrong pixel field scores far below 40 dB). */
+  def jpegPsnr(spark: SparkSession): DataFrame = {
+    val grid = Synth.testGrid
+    val tiles = Synth.lossyTiles(spark, grid)
+    val staged = tiles.select(col("image_id"),
+      graft.operators.ImageOps.pixels(col("raw_bytes"), lit("raw"))
+        .as("a"),
+      graft.operators.ImageOps.pixels(col("jpg_bytes"), lit("jpg"))
+        .as("b"))
+    val mse = aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x) / size(col("a")).cast("double")
+    staged.select(col("image_id"),
+      size(col("a")).cast("long").as("n_px"),
+      graft.operators.ImageOps.pxSum(col("a")).as("truth_sum"),
+      (mse <= lit(255.0 * 255.0 / 1e4)).as("psnr_ge_40"))
+  }
+
+  val jpegPsnrSql: String = """
+WITH px AS (
+  SELECT gr, gc, CAST(gr + gc AS DOUBLE) AS v
+  FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+)
+SELECT printf('tile_%04d_%04d', gr // 16, gc // 16) AS image_id,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  SUM(v) AS truth_sum,
+  TRUE AS psnr_ge_40
+FROM px GROUP BY 1"""
+
   /** 56-bit perceptual dHash per tile (decode → 8×8 downsample →
     * horizontal-gradient sign bits) — the image-dedup primitive,
     * computed entirely inside each tile's row. The oracle recomputes

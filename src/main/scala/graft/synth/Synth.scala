@@ -116,6 +116,29 @@ object Synth {
       .toDF()
   }
 
+  /** Lossy-codec fixture: each row carries the ground-truth RAW
+    * encoding AND the JPEG encoding (quality 0.95) of the same
+    * smooth linear-gradient field px(gr,gc) = gr + gc (range 0..254,
+    * no nodata) — smooth so the codec sits far above the 40 dB gate,
+    * and exactly replicable in SQL as `gr + gc`. */
+  def lossyTiles(spark: SparkSession, grid: RasterGrid): DataFrame = {
+    import spark.implicits._
+    val g = grid
+    spark.range(0, grid.numTiles).as[Long].map { i =>
+      val tr = (i / g.tilesX).toInt
+      val tc = (i % g.tilesX).toInt
+      val px = new Array[Float](g.tileW * g.tileH)
+      var j = 0
+      while (j < px.length) {
+        px(j) = ((tr * g.tileH + j / g.tileW) +
+          (tc * g.tileW + j % g.tileW)).toFloat
+        j += 1
+      }
+      (ZonalStats.tileId(tr, tc), ImageCodec.encodeRaw(px),
+        ImageCodec.encodeJpg(px, g.tileW, g.tileH))
+    }.toDF("image_id", "raw_bytes", "jpg_bytes")
+  }
+
   /** Multi-band tile table: one row per (tile, band), with the band's
     * pixel field chosen by variant. Schema = input_hint + `band`. */
   def tilesMultiBand(spark: SparkSession, grid: RasterGrid,

@@ -36,6 +36,28 @@ class CodecSpec extends AnyFunSuite {
     assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
+  test("q_jpeg_psnr's mse gate is equivalent to PSNR >= 40 dB and " +
+      "discriminates a wrong decode") {
+    // the driver query replaces 10·log10(255²/mse) >= 40 with
+    // mse <= 255²/10⁴ — prove the algebra on a real roundtrip…
+    val px = new Array[Float](16 * 16)
+    for (r <- 0 until 16; c <- 0 until 16) px(r * 16 + c) = (r + c).toFloat
+    val dec = ImageCodec.decodeJpg(ImageCodec.encodeJpg(px, 16, 16))
+    def mse(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum /
+        a.length
+    val gate = 255.0 * 255.0 / 1e4
+    assert((mse(px, dec) <= gate) ===
+      (ImageCodec.psnrDb(px, dec, 255.0) >= 40.0))
+    assert(mse(px, dec) <= gate, "gradient roundtrip must pass the gate")
+    // …and that a WRONG pixel field (what a broken decode would
+    // yield) lands far below it — the boolean is not vacuously true
+    val wrong = px.map(v => (v * 31 % 97).toFloat)
+    assert(mse(px, wrong) > gate * 10,
+      "gate failed to discriminate a wrong decode")
+  }
+
   test("xxh64 known vectors") {
     // public XXH64 test vectors (xxhash spec)
     assert(XXHash64.hash(Array.emptyByteArray, 0L) === 0xEF46DB3751D8E999L)
