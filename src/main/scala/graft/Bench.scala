@@ -446,10 +446,9 @@ object Bench {
     // secondary query, so a slow median is attributable and a slow
     // single rep is provably ambient from the artifact alone
     val queryRepJson = queryReps.map { case (name, rs) =>
-      s""""${name}_secs":${arr(rs.map(_.wall))},""" +
-        s""""${name}_gc_ms":${arrL(rs.map(_.gcMs))},""" +
-        s""""${name}_steal_pct":${arr(rs.map(_.stealPct))},""" +
-        s""""${name}_heap_peak_mb":${arrL(rs.map(_.heapPeakMb))}"""
+      pathJson(name, RepStats(rs.map(_.wall), rs.map(_.gcMs),
+        rs.map(_.stealPct), rs.map(_.busyPct),
+        rs.map(_.heapPeakMb), rs.map(_.heapAfterGcMb)))
     }.mkString(",")
     val fullLine = head +
       s""""queries_cold":$qsCold,""" +

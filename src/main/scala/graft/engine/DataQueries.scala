@@ -368,9 +368,14 @@ FROM sig GROUP BY 1"""
     * Harness-scale by nature (the corpus is collected to feed the
     * MemoryStream) — the production path is a real source feeding the
     * same operator; state is one key per watermark horizon. The
-    * watermark (1 h) exceeds the fixture's total event-time span
-    * (doc_id seconds), so no key is evicted mid-replay and no row is
-    * late — arrival order is the only semantics under test. */
+    * watermark delay is DERIVED from the corpus (max doc_id seconds
+    * + 1 h slack), so by construction it exceeds the total event-time
+    * span at every scale factor: no key is evicted mid-replay and no
+    * row is late — arrival order is the only semantics under test.
+    * (A fixed "1 hour" was wrong: sf0.1's 5 000-doc span is already
+    * 83 min, and a span over 2× the delay would evict a first
+    * occurrence's state and let a later duplicate survive — a false
+    * oracle red caused by the fixture outgrowing the constant.) */
   def streamSigDedup(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -383,16 +388,19 @@ FROM sig GROUP BY 1"""
       .withColumn("rn", row_number().over(org.apache.spark.sql
         .expressions.Window.partitionBy("sig_key").orderBy("doc_id")))
       .select("doc_id", "text", "rn")
-    val byBatch = staged.collect()
+    val rows = staged.collect()
       .map(r => (r.getLong(0), r.getString(1), math.min(r.getInt(2), 8)))
+    val byBatch = rows
       .groupBy(_._3).toSeq.sortBy(_._1)
       .map { case (rn, xs) => rn -> xs.sortBy(_._1) }
+    // delay > span(event time) ⇒ nothing late, no state evicted
+    val delaySecs = rows.iterator.map(_._1).foldLeft(0L)(math.max) + 3600L
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val docsDf = input.toDF().toDF("doc_id", "text", "event_time")
     val out = graft.streaming.DocStream.signatureDedupStream(
-      docsDf, "doc_id", "text", MinHashNum, "1 hour")
+      docsDf, "doc_id", "text", MinHashNum, s"$delaySecs seconds")
     // unique sink name per invocation: the memory sink registers a
     // session temp view, and a warm rep must not collide with it
     val qname = "sig_dedup_replay_" +

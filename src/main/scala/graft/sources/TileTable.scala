@@ -371,8 +371,16 @@ object TileTable {
         if (live) {
           // verify ownership BEFORE touching: a zombie must neither
           // keep its stolen lock's successor looking alive nor keep
-          // beating a lock that is no longer its own
-          st.readString(lock) match {
+          // beating a lock that is no longer its own. A transient
+          // read error (EIO, object-store blip) must NOT kill this
+          // thread — a dead heartbeat freezes the mtime and invites
+          // a steal out from under a live holder — so on a read error
+          // we presume continued ownership (steals need staleMs of
+          // silence, far longer than a blip) and verify next tick.
+          val owner =
+            try st.readString(lock)
+            catch { case _: Exception => Some(token) } // transient: assume still ours, verify next tick
+          owner match {
             case Some(t) if t == token =>
               try st.touch(lock)
               catch { case _: Exception => () } // gone/transient: next tick or ownership check ends it
@@ -805,7 +813,9 @@ object TileTable {
   }
 
   def exists(root: String): Boolean =
-    store(root).read("manifest.json").isDefined ||
+    // presence only — mtime stat avoids reading a legacy manifest
+    // that inlines its (possibly 10^6-entry) file list
+    store(root).mtimeMs("manifest.json").isDefined ||
       currentVersion(root) > 0
 
   /** Parent directory name of a manifest file path (the generation
