@@ -430,6 +430,48 @@ class TileTableCommitSpec extends SparkSpec {
     }
   }
 
+  test("CAS store: lock heartbeat survives transient read errors — " +
+      "mtime keeps advancing, no steal window opens") {
+    val dir = Files.createTempDirectory("graft-cas-flaky").toString
+    val inner = new InMemoryCasStore
+    val failReads = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // delegate everything; reads throw while the blip is on — the
+    // object-store failure mode (503/timeout) a real backend surfaces
+    val store: ManifestStore = new ManifestStore {
+      def putIfAbsent(rel: String, b: Array[Byte]) = inner.putIfAbsent(rel, b)
+      def put(rel: String, b: Array[Byte]) = inner.put(rel, b)
+      def read(rel: String) = {
+        if (failReads.get()) throw new java.io.IOException("injected blip")
+        inner.read(rel)
+      }
+      def list(d: String) = inner.list(d)
+      def delete(rel: String) = inner.delete(rel)
+      def renameIfExists(f: String, t: String) = inner.renameIfExists(f, t)
+      def mtimeMs(rel: String) = inner.mtimeMs(rel)
+      def touch(rel: String) = inner.touch(rel)
+    }
+    ManifestStore.register(dir, store)
+    try {
+      TileTable.withTableLock(dir, staleMs = 400L) {
+        failReads.set(true)
+        Thread.sleep(900) // > 2x staleMs of continuous read failures
+        failReads.set(false)
+        // pre-fix the beat thread died on the first throw, freezing
+        // the mtime at ~900 ms age — a steal window for a competitor
+        val age = System.currentTimeMillis() -
+          inner.mtimeMs("_lock").getOrElse(0L)
+        assert(age < 400L,
+          s"heartbeat stalled during read blips (lock age $age ms)")
+        Thread.sleep(300)
+        val age2 = System.currentTimeMillis() -
+          inner.mtimeMs("_lock").getOrElse(0L)
+        assert(age2 < 400L,
+          s"heartbeat dead after read blips cleared (lock age $age2 ms)")
+      }
+      assert(inner.read("_lock").isEmpty, "lock not released after body")
+    } finally ManifestStore.unregister(dir)
+  }
+
   test("CAS store: stale lock is stolen via the store's rename; a " +
       "fresh lock is not") {
     withCasStore { (dir, store) =>
