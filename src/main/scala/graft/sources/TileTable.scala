@@ -770,10 +770,38 @@ object TileTable {
         s"concurrent initial creation of $root: version 1 already exists")
   }
 
-  def open(root: String): TileTable = {
-    val rel = manifestRel(currentVersion(root))
+  def open(root: String): TileTable = openAt(root, currentVersion(root))
+
+  /** Manifest versions currently READABLE at `root`, ascending — the
+    * head plus every superseded version [[vacuum]] retention has kept
+    * (`0` = a legacy flat manifest.json). The time-travel window. */
+  def versions(root: String): Seq[Int] = {
+    val st = store(root)
+    val vs = st.list("").flatMap {
+      case ManifestV(n) => Some(n.toInt)
+      case _ => None
+    }
+    val legacy = if (st.mtimeMs("manifest.json").isDefined) Seq(0) else Nil
+    (legacy ++ vs).sorted
+  }
+
+  /** Time-travel open: the table AS OF manifest `version`. Manifest
+    * versions are immutable, so the returned snapshot is stable under
+    * concurrent appends/compacts; it stays READABLE until [[vacuum]]
+    * retires the version (raise `retainVersions` there to widen the
+    * window — the Iceberg expire-snapshots contract). An expired or
+    * never-committed version fails loudly here; its DATA files may
+    * additionally require `compact(keepOld = true)` + vacuum grace to
+    * still be on disk. */
+  def openAt(root: String, version: Int): TileTable = {
+    val rel = manifestRel(version)
     val j = mapper.readTree(store(root).readString(rel).getOrElse(
-      throw new java.nio.file.NoSuchFileException(s"$root/$rel")))
+      throw new java.nio.file.NoSuchFileException(
+        s"$root/$rel — manifest version $version is not readable " +
+          s"(present: ${versions(root).mkString("[", ",", "]")}). " +
+          "Superseded versions are retired by vacuum; pass " +
+          "vacuum(retainVersions = K) to keep a K-deep time-travel " +
+          "window.")))
     require(j.get("format").asText() == FormatName,
       s"not a $FormatName table: $root")
     val g = j.get("grid")
@@ -812,6 +840,24 @@ object TileTable {
       Option(j.get("srs")).map(_.asText()), bands, writers))
   }
 
+  /** Data-file paths a manifest version head references — inline
+    * legacy `files` plus every segment entry. Nil for an absent head;
+    * a segment deleted out from under a still-present head (a crash
+    * between vacuum's segment pass and its manifest pass) contributes
+    * nothing rather than failing the caller — vacuum must keep
+    * working on a half-collected table. */
+  private def headFilePaths(root: String, version: Int): Seq[String] =
+    store(root).readString(manifestRel(version)) match {
+      case None => Nil
+      case Some(txt) =>
+        val j = mapper.readTree(txt)
+        val segs = headSegments(root, version).flatMap { ref =>
+          try loadSegment(root, ref).map(_.path)
+          catch { case _: java.nio.file.NoSuchFileException => Nil }
+        }
+        parseFiles(j.get("files")).map(_.path) ++ segs
+    }
+
   def exists(root: String): Boolean =
     // presence only — mtime stat avoids reading a legacy manifest
     // that inlines its (possibly 10^6-entry) file list
@@ -843,12 +889,49 @@ object TileTable {
     * FileSystem listing API; it is plain listing+delete, no atomicity
     * required). */
   def vacuum(root: String,
-      graceMs: Long = 10 * 60 * 1000L): Seq[String] = withTableLock(root) {
+      graceMs: Long = 10 * 60 * 1000L,
+      retainVersions: Int = 1): Seq[String] = withTableLock(root) {
+    require(retainVersions >= 1, "retainVersions must be >= 1 (the head)")
     val st = store(root)
     val current = currentVersion(root)
-    val t = open(root)
-    val referenced = t.manifest.files.map(f => parentDir(f.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    // Superseded manifest versions (and a legacy manifest.json once a
+    // versioned one exists) age out under the grace window measured
+    // from SUPERSESSION — the successor's commit time — not the
+    // version's own age: a reader that resolved version N just before
+    // N+1 landed must get the full grace period to finish its
+    // readString, and a version committed a day ago but superseded a
+    // millisecond ago has been superseded for a millisecond, not a
+    // day. In-flight committers always target currentVersion+1,
+    // which is never below `current`, so this can't race a commit.
+    // The newest `retainVersions` versions (head included) are exempt
+    // regardless of age — the [[openAt]] time-travel window.
+    def supersededAt(v: Int): Long =
+      st.mtimeMs(manifestRel(v + 1)).orElse {
+        // successor already GC'd (e.g. a crash mid-pass): the
+        // supersession is at least as old as the version itself —
+        // fall back to its own mtime rather than retaining a stale
+        // manifest forever
+        st.mtimeMs(manifestRel(v))
+      }.getOrElse(Long.MaxValue)
+    // legacy v0 first: it has no dependents, and deleting it before
+    // v1 means a crash mid-pass can never orphan it behind a missing
+    // successor
+    val manifestGc = ((if (current > 0) Seq(0) else Nil) ++
+      (1 until current))
+      .filter(_ <= current - retainVersions)
+      .filter(v => st.mtimeMs(manifestRel(v)).isDefined &&
+        supersededAt(v) < cutoff)
+    manifestGc.foreach(v => st.delete(manifestRel(v)))
+    // Data directories referenced by ANY manifest version still
+    // readable after the pass above stay — retained snapshots must
+    // keep their data, or openAt would resolve a manifest whose
+    // parquet is gone. (Whether pre-compact generations exist at all
+    // is compact(keepOld)'s call; vacuum just never widows a
+    // readable manifest.)
+    val referenced = versions(root).iterator
+      .flatMap(v => headFilePaths(root, v))
+      .map(parentDir).toSet
     val dirs = Files.list(Paths.get(root))
     val removable =
       try {
@@ -864,31 +947,6 @@ object TileTable {
       } finally dirs.close()
     removable.foreach(d =>
       graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
-    // Superseded manifest versions (and a legacy manifest.json once a
-    // versioned one exists) age out under the grace window measured
-    // from SUPERSESSION — the successor's commit time — not the
-    // version's own age: a reader that resolved version N just before
-    // N+1 landed must get the full grace period to finish its
-    // readString, and a version committed a day ago but superseded a
-    // millisecond ago has been superseded for a millisecond, not a
-    // day. In-flight committers always target currentVersion+1,
-    // which is never below `current`, so this can't race a commit.
-    def supersededAt(v: Int): Long =
-      st.mtimeMs(manifestRel(v + 1)).orElse {
-        // successor already GC'd (e.g. a crash mid-pass): the
-        // supersession is at least as old as the version itself —
-        // fall back to its own mtime rather than retaining a stale
-        // manifest forever
-        st.mtimeMs(manifestRel(v))
-      }.getOrElse(Long.MaxValue)
-    // legacy v0 first: it has no dependents, and deleting it before
-    // v1 means a crash mid-pass can never orphan it behind a missing
-    // successor
-    val manifestGc = ((if (current > 0) Seq(0) else Nil) ++
-      (1 until current))
-      .filter(v => st.mtimeMs(manifestRel(v)).isDefined &&
-        supersededAt(v) < cutoff)
-    manifestGc.foreach(v => st.delete(manifestRel(v)))
     // segment GC: a segment is retired once NO manifest version still
     // present references it (losers of commit races, and segments of
     // heads the pass above just deleted). The same grace window

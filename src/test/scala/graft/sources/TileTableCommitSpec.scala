@@ -337,6 +337,41 @@ class TileTableCommitSpec extends SparkSpec {
     assert(TileTable.open(dir).manifest.files.nonEmpty)
   }
 
+  test("time travel: openAt reads an immutable snapshot; vacuum " +
+      "retainVersions keeps the window AND its data") {
+    val dir = freshTable()
+    val n0 = TileTable.open(dir).read(spark).count()
+    val v0 = TileTable.currentVersion(dir)
+    val extra = Synth.tiles(spark, grid)
+      .where(col("image_id") === "tile_0000_0000")
+    TileTable.appendBatch(spark, dir, extra, batchId = 21L)
+    val v1 = TileTable.currentVersion(dir)
+    assert(v1 === v0 + 1)
+    // snapshot semantics: the pre-append version still reads n0 rows
+    assert(TileTable.openAt(dir, v0).read(spark).count() === n0)
+    assert(TileTable.openAt(dir, v1).read(spark).count() === n0 + 1)
+    // an aggressive vacuum with retainVersions = 2 keeps both
+    TileTable.vacuum(dir, graceMs = 0L, retainVersions = 2)
+    assert(TileTable.versions(dir) === Seq(v0, v1))
+    assert(TileTable.openAt(dir, v0).read(spark).count() === n0)
+    // compact(keepOld = true): the retained PRE-compact version still
+    // references the old generation — vacuum must not widow it
+    TileTable.compact(spark, dir, numFiles = 2, keepOld = true)
+    val v2 = TileTable.currentVersion(dir)
+    TileTable.vacuum(dir, graceMs = 0L, retainVersions = 2)
+    assert(TileTable.versions(dir) === Seq(v1, v2))
+    assert(TileTable.openAt(dir, v1).read(spark).count() === n0 + 1,
+      "retained pre-compact snapshot lost its data files")
+    // default retention (head only): the window collapses, the old
+    // generation goes, and an expired version fails loudly
+    TileTable.vacuum(dir, graceMs = 0L)
+    assert(TileTable.versions(dir) === Seq(v2))
+    val e = intercept[java.nio.file.NoSuchFileException](
+      TileTable.openAt(dir, v1))
+    assert(e.getMessage.contains("time-travel"))
+    assert(TileTable.open(dir).read(spark).count() === n0 + 1)
+  }
+
   // ---- the mutation protocol against CONDITIONAL-PUT SEMANTICS ALONE
   //
   // Everything below runs the metadata plane through InMemoryCasStore
