@@ -409,6 +409,54 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
     * be value-identical. */
   val zonalCheckpointedSql: String = zonalBasicSql
 
+  /** The incremental growth path under the oracle gate: table created
+    * with the NORTH half of the tiles (v1), south half appended as a
+    * streaming batch (v2); per-FID stats saved at v1 are folded with
+    * the CDC delta ([[graft.sources.TileTable.readChanges]] — only
+    * the appended files, asserted in-query) and finalized. The merge
+    * must equal a full recompute over the whole grid, so the SAME
+    * DuckDB oracle as q_zonal_basic applies. */
+  def zonalIncremental(spark: SparkSession): DataFrame = {
+    import graft.sources.TileTable
+    val grid = Synth.testGrid
+    val table = cachedFixtureTable("incr") { root =>
+      val all = Synth.tiles(spark, grid)
+      val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+        .cast("int")
+      TileTable.write(spark, all.where(tr < lit(grid.tilesY / 2)), grid,
+        Some(-9999.0), root, cellLevel = 8, numFiles = 2)
+      TileTable.appendBatch(spark, root,
+        all.where(tr >= lit(grid.tilesY / 2)), batchId = 0L)
+    }
+    val zones = Fixtures.zonesBasic(grid)
+    val head = TileTable.currentVersion(table.root)
+    // yesterday's state: per-FID stats over the v1 snapshot
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(table.root, 1).read(spark), zones, grid,
+      Some(-9999.0))
+    // the CDC contract: the delta is exactly the appended batch
+    val delta = TileTable.changedFiles(table.root, 1, head)
+    require(delta.nonEmpty && delta.forall(_.path.startsWith("append-0-")),
+      s"incremental read leaked beyond the appended batch: " +
+        delta.map(_.path).mkString(", "))
+    val res = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1)
+    res.select(
+      col("group").as("grp"),
+      col("count").as("cnt"),
+      col("nodata_count").as("nodata_cnt"),
+      col("valid_count").as("valid_cnt"),
+      col("sum").as("sum_v"),
+      col("min").as("min_v"),
+      col("max").as("max_v"),
+      when(col("valid_count") > 0, col("sum") / col("valid_count"))
+        .as("mean_v"),
+      col("stdev").as("stdev_v"))
+  }
+
+  /** Incremental merge ≡ full recompute — same oracle. */
+  val zonalIncrementalSql: String = zonalBasicSql
+
   /** Histogram bounds for the approx-percentile query: value range
     * [0, 97) and a power-of-two bin count so binWidth 97/32 = 3.03125
     * is an exact dyadic — every midpoint computes bit-identically in

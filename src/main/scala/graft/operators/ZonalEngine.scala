@@ -78,6 +78,78 @@ object ZonalEngine {
       fallbackTiles = Some(e => table.readPruned(spark, e, band)))
   }
 
+  /** Per-FID algebraic stats of `tiles` against `zonesRaw` — the
+    * SAVABLE state of a zonal run (columns fid, cnt, nodata, mn, mx,
+    * sum, sumsq). Persist the result (e.g. parquet next to the
+    * table's manifest version) and feed it back into
+    * [[runIncremental]] when the table grows. */
+  def fidStatsFor(spark: SparkSession, tiles: DataFrame,
+      zonesRaw: Seq[Zone], grid: RasterGrid, nodata: Option[Double],
+      simplify: Boolean = true, lastWins: Boolean = false): DataFrame = {
+    val zones =
+      if (simplify)
+        zonesRaw.map(z => z.copy(geom =
+          Zone.simplifyHalfPixel(z.geom, grid.gt.px)))
+      else zonesRaw
+    val bc = spark.sparkContext.broadcast(new ZoneIndex(zones.toArray))
+    // the result is lazy (callers save it to parquet), so the zone
+    // index broadcast outlives this frame's materialization — parked
+    // in the session registry, released at the next drain
+    graft.engine.Caches.register(spark, () => bc.destroy())
+    ZonalStats.fidStats(ZonalStats.tilePartials(tiles, bc, grid, nodata,
+      collectValues = false, lastWins))
+  }
+
+  /** Incremental zonal update — the 100 TB growth path: instead of
+    * rescanning the whole table after an append, decode ONLY the
+    * delta ([[graft.sources.TileTable.readChanges]] between
+    * `fromVersion` and the current head), fold its per-FID stats into
+    * `prevFidStats` (yesterday's [[fidStatsFor]] output over the
+    * same zones at `fromVersion`), and finalize. The per-FID algebra
+    * is a commutative monoid, so the result is value-identical to a
+    * full recompute at the head — which is exactly what the driver
+    * oracle pins (q_zonal_incremental).
+    *
+    * Percentiles need raw value chunks, which saved algebraic stats
+    * cannot reconstruct — deliberately not offered here; run the
+    * sketch path over the full table when quantiles are required.
+    *
+    * The unset-FID envelope fallback still consults the WHOLE table
+    * (manifest-pruned to the unset slivers): a zone too thin to own a
+    * pixel stays correct however many increments have run. */
+  def runIncremental(spark: SparkSession, table: graft.sources.TileTable,
+      zonesRaw: Seq[Zone], prevFidStats: DataFrame, fromVersion: Int,
+      lastWins: Boolean = false,
+      band: Option[Int] = None): DataFrame = {
+    require(table.manifest.bands.isEmpty || band.isDefined,
+      s"${table.root} is multi-band: pass the band to address")
+    val head = graft.sources.TileTable.currentVersion(table.root)
+    val deltaAll = graft.sources.TileTable.readChanges(spark, table.root,
+      fromVersion, head)
+    val delta = band match {
+      case Some(b) => deltaAll.where(org.apache.spark.sql.functions
+        .col("band") === b)
+      case None => deltaAll
+    }
+    val nodata = table.nodataFor(band)
+    val grid = table.grid
+    val zones = zonesRaw.map(z => z.copy(geom =
+      Zone.simplifyHalfPixel(z.geom, grid.gt.px)))
+    import spark.implicits._
+    val zonesDf = zones.map(z => (z.fid, Option(z.group)))
+      .toDF("fid", "group")
+    val deltaStats = fidStatsFor(spark, delta, zonesRaw, grid, nodata,
+      simplify = true, lastWins = lastWins)
+    val merged = ZonalStats.mergeFidStats(prevFidStats, deltaStats)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val releases = Seq(() => { merged.unpersist(false); () })
+    merged.count()
+    finishStats(spark, merged, None, zones, zonesDf, grid, nodata,
+      percentiles = Nil, exactPercentiles = true,
+      tilesFor = e => table.readPruned(spark, e, band),
+      histogram = None, releases = releases)
+  }
+
   /** @param exactPercentiles true (default) = exact numpy-parity
     *   percentiles (concatenate+sort per group — the reference's
     *   semantics, runner.py:823-904; a giant group's values land on

@@ -303,6 +303,20 @@ object ZonalStats {
       sum("sumsq").as("sumsq"))
   }
 
+  /** Merge two per-FID stat frames (the [[fidStats]] shape) — the
+    * algebra is the same commutative monoid the partial aggregation
+    * uses, so stats from yesterday's run and today's delta combine
+    * into exactly the stats of a full recompute. Infinity sentinels
+    * from all-nodata fids survive min/max merging unchanged. */
+  def mergeFidStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("fid").agg(
+      sum("cnt").as("cnt"),
+      sum("nodata").as("nodata"),
+      min("mn").as("mn"),
+      max("mx").as("mx"),
+      sum("sum").as("sum"),
+      sum("sumsq").as("sumsq"))
+
   /** FID→group rollup + finalize (`runner.py:848-917`):
     * sums/counts add unconditionally; min/max merge only from fids
     * with valid_count > 0; population stdev from sum/sumsq with

@@ -517,7 +517,7 @@ object TileTable {
     * are proportional to the mutation, not the table. A losing
     * commit's segment is left for [[vacuum]]. */
   private[sources] def commitManifest(root: String, m: TileManifest,
-      version: Int): Boolean = {
+      version: Int, op: String = OpAppend): Boolean = {
     require(version >= 1, "versions start at 1")
     store(root) // resolve early: refuse unregistered schemes loudly
     val byPath = m.files.map(f => f.path -> f).toMap
@@ -531,7 +531,7 @@ object TileTable {
     val residual = m.files.filterNot(f => covered.contains(f.path))
     val segs = kept.map(_._1) ++
       (if (residual.nonEmpty) Seq(writeSegment(root, residual)) else Nil)
-    commitHeadJson(root, headJson(m, segs), version)
+    commitHeadJson(root, headJson(m, segs, op), version)
   }
 
   /** The conditional-put publication: exactly one of several racing
@@ -547,7 +547,8 @@ object TileTable {
     * current manifest and commits as the next version, retrying from
     * a fresh read on conflict. `f` returning None = no-op (e.g. a
     * replayed batch). Returns the resulting table. */
-  private[sources] def mutateManifest(root: String)(
+  private[sources] def mutateManifest(root: String,
+      op: String = OpAppend)(
       f: TileManifest => Option[TileManifest]): TileTable = {
     while (true) {
       val v = currentVersion(root)
@@ -555,7 +556,7 @@ object TileTable {
       f(t.manifest) match {
         case None => return t
         case Some(m2) =>
-          if (commitManifest(root, m2, v + 1))
+          if (commitManifest(root, m2, v + 1, op))
             return new TileTable(root, m2)
         // else: lost the race — loop re-reads the winner's manifest
       }
@@ -674,7 +675,7 @@ object TileTable {
       val newDir = s"data-${(0 +: genNums).max + 1}"
       val stats = writeDataFiles(spark, t.read(spark), root, newDir,
         numFiles, t.manifest.bands)
-      val out = mutateManifest(root)(m =>
+      val out = mutateManifest(root, op = OpReplace)(m =>
         compactMerge(m, rewrittenSet, stats))
       val committed = out.manifest.files.map(_.path).toSet
         .exists(p => stats.exists(_.path == p))
@@ -717,9 +718,26 @@ object TileTable {
     finally s.close()
   }
 
-  private def headJson(m: TileManifest, segs: Seq[SegmentRef]): String = {
+  /** Commit operation kinds stamped into each manifest head — the
+    * Iceberg snapshot-operation tag [[changedFiles]] needs to tell an
+    * append (new rows) from a compaction rewrite (same rows, new
+    * files). Metadata-only commits diff to an empty file set and need
+    * no tag. */
+  val OpAppend = "append"
+  val OpReplace = "replace"
+  val OpCreate = "create"
+
+  /** The operation tag of a committed version (None: version
+    * unreadable, or a pre-tag legacy head). */
+  def commitOp(root: String, version: Int): Option[String] =
+    store(root).readString(manifestRel(version))
+      .flatMap(txt => Option(mapper.readTree(txt).get("op")).map(_.asText()))
+
+  private def headJson(m: TileManifest, segs: Seq[SegmentRef],
+      op: String): String = {
     val o = mapper.createObjectNode()
     o.put("format", FormatName)
+    o.put("op", op)
     val g = o.putObject("grid")
     g.put("x0", m.grid.gt.x0); g.put("px", m.grid.gt.px)
     g.put("y0", m.grid.gt.y0); g.put("py", m.grid.gt.py)
@@ -765,7 +783,7 @@ object TileTable {
       s"writeManifest is initial-creation only but $root is at " +
         s"manifest version $v — use mutateManifest (read-modify-write " +
         "with conflict retry) so concurrent commits are never discarded")
-    if (!commitManifest(root, m, 1))
+    if (!commitManifest(root, m, 1, OpCreate))
       throw new IllegalStateException(
         s"concurrent initial creation of $root: version 1 already exists")
   }
@@ -857,6 +875,94 @@ object TileTable {
         }
         parseFiles(j.get("files")).map(_.path) ++ segs
     }
+
+  /** A head version's file list split into (inline legacy files,
+    * segment refs) WITHOUT loading any segment — the unit of work for
+    * the segment-level diff in [[changedFiles]]. None: version not
+    * readable. */
+  private def headParts(root: String,
+      version: Int): Option[(Seq[TileFileStat], Seq[SegmentRef])] =
+    store(root).readString(manifestRel(version)).map { txt =>
+      val j = mapper.readTree(txt)
+      val segs = Option(j.get("segments")).map(_.elements().asScala.map {
+        s =>
+          SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
+            s.get("cellMin").asLong(), s.get("cellMax").asLong())
+      }.toSeq).getOrElse(Nil)
+      (parseFiles(j.get("files")), segs)
+    }
+
+  /** Data files APPENDED between manifest versions `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the Iceberg
+    * incremental-append-scan contract, for pipelines that process a
+    * growing table in deltas instead of rescanning 100 TB per run.
+    *
+    * Each version step is diffed at the SEGMENT level: segments shared
+    * with the predecessor head are skipped by reference, so the
+    * metadata cost is O(changed segments) per step (an append loads
+    * exactly its one batch segment), never O(table). Steps tagged
+    * [[OpReplace]] (compaction) rewrite existing rows into new files
+    * and contribute nothing. A step that REMOVED files without the
+    * replace tag fails loudly — its appended rows cannot be derived
+    * from a file diff, and guessing would double- or under-count.
+    * `fromVersion = 0` with no readable version 0 means "since the
+    * empty table" (the create's files count as appended). Both
+    * endpoints (and every step) must still be readable — widen
+    * `vacuum(retainVersions = …)` to keep the window. */
+  def changedFiles(root: String, fromVersion: Int,
+      toVersion: Int): Seq[TileFileStat] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    require(fromVersion == 0 || headParts(root, fromVersion).isDefined,
+      s"manifest version $fromVersion of $root is not readable " +
+        s"(present: ${versions(root).mkString("[", ",", "]")}) — " +
+        "raise vacuum(retainVersions) to keep an incremental-read window")
+    (fromVersion + 1 to toVersion).flatMap { v =>
+      val (pFiles, pSegs) = headParts(root, v - 1).getOrElse(
+        if (v - 1 == 0) (Nil, Nil)
+        else throw new java.nio.file.NoSuchFileException(
+          s"$root/${manifestRel(v - 1)} — vacuumed mid-window"))
+      val (cFiles, cSegs) = headParts(root, v).getOrElse(
+        throw new java.nio.file.NoSuchFileException(
+          s"$root/${manifestRel(v)}"))
+      val prevRefs = pSegs.map(_.path).toSet
+      val curRefs = cSegs.map(_.path).toSet
+      // only non-shared segments are ever loaded
+      val droppedPaths = pSegs.filterNot(s => curRefs.contains(s.path))
+        .flatMap(loadSegment(root, _).map(_.path)).toSet ++
+        pFiles.map(_.path)
+      val fresh = cSegs.filterNot(s => prevRefs.contains(s.path))
+        .flatMap(loadSegment(root, _)) ++ cFiles
+      val added = fresh.filterNot(f => droppedPaths.contains(f.path))
+      // a head lists each path at most once, so a dropped segment's
+      // files can never also live in a SHARED segment — removal
+      // detection needs only the non-shared side of both heads
+      val removed = droppedPaths -- fresh.iterator.map(_.path)
+      commitOp(root, v) match {
+        case Some(OpReplace) => Nil // rewrite: same rows, new files
+        case op =>
+          if (removed.nonEmpty) throw new IllegalStateException(
+            s"incremental read of $root across version $v: files were " +
+              s"removed by a commit tagged ${op.getOrElse("<untagged>")} " +
+              "— appended rows cannot be derived across an untagged " +
+              "rewrite (compact() tags its commits 'replace')")
+          added
+      }
+    }
+  }
+
+  /** Incremental scan: only the rows appended between the two manifest
+    * versions (see [[changedFiles]]), as a DataFrame with the table's
+    * schema. The delta feeds incremental recomputation — e.g.
+    * [[graft.operators.ZonalEngine.runIncremental]] merges it into
+    * checkpointed per-zone partial stats instead of rescanning the
+    * table. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val files = changedFiles(root, fromVersion, toVersion)
+    if (files.isEmpty) open(root).read(spark).limit(0)
+    else spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
 
   def exists(root: String): Boolean =
     // presence only — mtime stat avoids reading a legacy manifest

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.engine.Fixtures
+import graft.operators.{ZonalEngine, ZonalStats}
+import graft.synth.Synth
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental (CDC) reads over the versioned tile table:
+  * [[TileTable.changedFiles]]/[[TileTable.readChanges]] must yield
+  * exactly the rows appended between two manifest versions — appends
+  * accumulate, compaction rewrites contribute nothing, untagged
+  * removals and vacuumed windows fail loudly — and the zonal
+  * incremental-merge path ([[ZonalStats.mergeFidStats]],
+  * [[ZonalEngine.runIncremental]]) must equal a full recompute. */
+class TileTableChangesSpec extends SparkSpec {
+  private val grid = Synth.testGrid
+
+  /** North-half create (v1) + south-half append batch 0 (v2). */
+  private def splitTable(): (String, Long, Long) = {
+    val dir = Files.createTempDirectory("graft-cdc").toString + "/t"
+    val all = Synth.tiles(spark, grid)
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val north = all.where(tr < lit(grid.tilesY / 2))
+    val south = all.where(tr >= lit(grid.tilesY / 2))
+    val nNorth = north.count()
+    val nSouth = south.count()
+    TileTable.write(spark, north, grid, Some(-9999.0), dir,
+      cellLevel = 8, numFiles = 2)
+    TileTable.appendBatch(spark, dir, south, batchId = 0L)
+    (dir, nNorth, nSouth)
+  }
+
+  test("changedFiles between create and append is exactly the " +
+      "appended batch; from 0 it is the whole table") {
+    val (dir, nNorth, nSouth) = splitTable()
+    assert(TileTable.currentVersion(dir) == 2)
+    val delta = TileTable.changedFiles(dir, 1, 2)
+    assert(delta.nonEmpty && delta.forall(_.path.startsWith("append-0-")),
+      s"delta leaked beyond the appended batch: ${delta.map(_.path)}")
+    assert(TileTable.readChanges(spark, dir, 1, 2).count() == nSouth)
+    // since-the-empty-table: the create's own files count as appended
+    assert(TileTable.readChanges(spark, dir, 0, 2).count() ==
+      nNorth + nSouth)
+    // empty window
+    assert(TileTable.changedFiles(dir, 2, 2).isEmpty)
+    assert(TileTable.readChanges(spark, dir, 2, 2).count() == 0)
+  }
+
+  test("a compaction step contributes no rows; appends before and " +
+      "after it still surface") {
+    val (dir, _, nSouth) = splitTable()
+    TileTable.compact(spark, dir, numFiles = 1, keepOld = true)
+    assert(TileTable.currentVersion(dir) == 3)
+    assert(TileTable.commitOp(dir, 3).contains(TileTable.OpReplace))
+    assert(TileTable.changedFiles(dir, 2, 3).isEmpty,
+      "compaction rewrote rows but appended none")
+    // window crossing the compact: still just batch 0
+    assert(TileTable.readChanges(spark, dir, 1, 3).count() == nSouth)
+    // an append AFTER the compact surfaces alone in its step
+    val extra = Synth.tiles(spark, grid).limit(3)
+    TileTable.appendBatch(spark, dir, extra, batchId = 1L)
+    assert(TileTable.readChanges(spark, dir, 3, 4).count() == 3)
+    assert(TileTable.readChanges(spark, dir, 1, 4).count() == nSouth + 3)
+  }
+
+  test("an untagged commit that removed files fails the incremental " +
+      "read loudly instead of guessing") {
+    val (dir, _, _) = splitTable()
+    // simulate a rogue rewrite: drop one file under the APPEND tag
+    TileTable.mutateManifest(dir)(m =>
+      Some(m.copy(files = m.files.drop(1))))
+    val e = intercept[IllegalStateException](
+      TileTable.changedFiles(dir, 1, TileTable.currentVersion(dir)))
+    assert(e.getMessage.contains("removed"), e.getMessage)
+  }
+
+  test("a vacuumed fromVersion refuses with the retainVersions hint") {
+    val (dir, _, _) = splitTable()
+    TileTable.compact(spark, dir, numFiles = 1) // v3
+    TileTable.vacuum(dir, graceMs = 0L, retainVersions = 1)
+    val e = intercept[IllegalArgumentException](
+      TileTable.changedFiles(dir, 1, 3))
+    assert(e.getMessage.contains("retainVersions"), e.getMessage)
+  }
+
+  test("mergeFidStats over the two halves equals fidStats over the " +
+      "whole table (monoid parity, nodata sentinels included)") {
+    val (dir, _, _) = splitTable()
+    val zones = Fixtures.zonesBasic(grid)
+    val full = ZonalEngine.fidStatsFor(spark,
+      TileTable.open(dir).read(spark), zones, grid, Some(-9999.0))
+    val north = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(dir, 1).read(spark), zones, grid, Some(-9999.0))
+    val south = ZonalEngine.fidStatsFor(spark,
+      TileTable.readChanges(spark, dir, 1, 2), zones, grid,
+      Some(-9999.0))
+    val merged = ZonalStats.mergeFidStats(north, south)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val (f, m) = (key(full), key(merged))
+    assert(f.keySet == m.keySet)
+    for (fid <- f.keySet)
+      assert(f(fid) == m(fid), s"fid $fid: full=${f(fid)} merged=${m(fid)}")
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("runIncremental equals a full recompute at the head") {
+    val (dir, _, _) = splitTable()
+    val zones = Fixtures.zonesBasic(grid)
+    val table = TileTable.open(dir)
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(dir, 1).read(spark), zones, grid, Some(-9999.0))
+    val inc = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1)
+    val fullRun = ZonalEngine.run(spark, table.read(spark), zones, grid,
+      Some(-9999.0))
+    val cols = fullRun.columns.sorted.map(col)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(rows(inc).toSeq == rows(fullRun).toSeq)
+    graft.engine.Caches.drain(spark)
+  }
+}
