@@ -299,6 +299,28 @@ SELECT * FROM (
 ) WHERE jaccard >= $MinHashJaccard"""
   }
 
+  /** Incremental near-dedup: the corpus is docs with doc_id % 5 != 4
+    * (indexed once via [[TextOps.minhashIndex]]); the "daily batch"
+    * is the % 5 == 4 docs. The incremental result must equal the
+    * FULL-corpus LSH dedup filtered to pairs touching the batch —
+    * which is exactly what the oracle computes (the q_minhash_lsh SQL
+    * plus the batch-membership predicate), so the equivalence
+    * [[TextOps.minhashDedupIncremental]] promises is oracle-pinned,
+    * including the subtle gained-group case (a batch doc exactly
+    * duplicating corpus content inherits that group's neighborhood). */
+  def minhashIncr(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val idx = TextOps.minhashIndex(corpus, "doc_id", "text",
+      MinHashNum, MinHashBands)
+    TextOps.minhashDedupIncremental(idx, batch, "doc_id", "text",
+      MinHashNum, MinHashBands, MinHashJaccard)
+  }
+
+  val minhashIncrSql: String =
+    minhashLshSql + " AND (id_a % 5 = 4 OR id_b % 5 = 4)"
+
   // ---- per-row signature groups (streaming-collapse key, batch-checked) ----
 
   /** Signature GROUPS over the corpus using the PER-ROW signature

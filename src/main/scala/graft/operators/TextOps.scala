@@ -474,6 +474,148 @@ object TextOps {
         (col("id") === col("comp")).as("is_canonical"))
   }
 
+  /** Persistable MinHash-LSH index of an already-deduped corpus — the
+    * state that makes near-dedup INCREMENTAL on a growing corpus.
+    * Save all three frames once (at 100 TB: parquet, `repBands`
+    * bucketed by `band_key` and `repToks`/`members` by id, so the
+    * daily delta joins shuffle-free) and feed them to
+    * [[TextOps.minhashDedupIncremental]] per ingest batch; only the
+    * batch is ever tokenized or signatured again.
+    *
+    * @param members  (id, ckey, rid) — every corpus doc's exact-content
+    *   group (key + min-id representative)
+    * @param repToks  (id, toks) — each representative's distinct-token
+    *   array, for exact Jaccard verification
+    * @param repBands (id, band_key) — each representative's LSH band
+    *   keys, the join target for new batches */
+  final case class MinhashIndex(members: DataFrame, repToks: DataFrame,
+    repBands: DataFrame)
+
+  /** Build the [[MinhashIndex]] of a corpus (one pass: content
+    * collapse, per-representative signatures, banding). Frames are
+    * persisted and registered with the session cache registry —
+    * long-lived callers should instead save them to storage and
+    * reload. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int): MinhashIndex = {
+    val spark = df.sparkSession
+    def reg(d: DataFrame): DataFrame = {
+      d.persist()
+      graft.engine.Caches.register(spark, () => { d.unpersist(false); () })
+      d
+    }
+    val members = reg(contentGroups(df, idCol, textCol))
+    val reps = repDocsOf(df, idCol, textCol, members)
+    val repToks = reg(reps.select(col("id"),
+      array_distinct(tokens(col("text"))).as("toks")))
+    val repBands = reg(bandKeys(
+      minhashSignature(tokenHashes(reps, "id", "text"), numHashes),
+      numBands, numHashes / numBands)
+      .select(col("id"), col("band_key")))
+    MinhashIndex(members, repToks, repBands)
+  }
+
+  /** Incremental MinHash-LSH near-dedup: all verified near-dup pairs
+    * (token-set Jaccard >= minJaccard, sharing an LSH band)
+    * INVOLVING AT LEAST ONE document of `newDocs`, given the
+    * [[MinhashIndex]] of the existing corpus — value-identical to
+    * running [[minhashDedup]] over corpus ∪ batch and keeping the
+    * pairs that touch the batch (the q_minhash_incr oracle pins
+    * exactly that equivalence), at the cost of the BATCH, not the
+    * corpus.
+    *
+    * Only three rep populations are ever banded or verified:
+    * genuinely-new contents (batch ckeys absent from the corpus),
+    * the corpus representatives of groups the batch GAINED members in
+    * (their new members inherit the group's whole neighborhood — the
+    * subtle case: a batch doc exactly duplicating old content must
+    * still pair with that content's near-dups), and the corpus index
+    * itself as the static join target. Left side is batch-sized,
+    * right side is the saved index joined on band_key; nothing
+    * re-signatures the corpus. Member expansion keeps only pairs with
+    * a batch doc on at least one side, so previously-reported
+    * corpus-internal pairs are never re-emitted. */
+  def minhashDedupIncremental(index: MinhashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, numBands: Int,
+      minJaccard: Double, maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    val spark = newDocs.sparkSession
+    def reg(d: DataFrame): DataFrame = {
+      d.persist()
+      graft.engine.Caches.register(spark, () => { d.unpersist(false); () })
+      d
+    }
+    val rows = numHashes / numBands
+    // global content resolution: a batch ckey found in the corpus
+    // joins that group (rid = the CORPUS representative)
+    val corpusGroups = index.members.select("ckey", "rid").distinct()
+    val newMembers = reg(contentGroups(newDocs, idCol, textCol)
+      .join(corpusGroups.withColumnRenamed("rid", "crid"), Seq("ckey"),
+        "left")
+      .select(col("id"), col("ckey"),
+        coalesce(col("crid"), col("rid")).as("rid"),
+        col("crid").isNotNull.as("joined_corpus")))
+    val freshRepIds = newMembers
+      .where(!col("joined_corpus") && col("id") === col("rid"))
+      .select("id")
+    val freshDocs = newDocs.select(col(idCol).as("id"),
+      col(textCol).as("text")).join(freshRepIds, Seq("id"))
+    val freshBands = bandKeys(
+      minhashSignature(tokenHashes(freshDocs, "id", "text"), numHashes),
+      numBands, rows).select(col("id"), col("band_key"))
+    val gainedRepIds = newMembers.where(col("joined_corpus"))
+      .select(col("rid").as("id")).distinct()
+    // band universe = saved index + fresh reps; the frequency cap
+    // must see the UNION so a bucket is kept/dropped for both sides
+    val kept = reg(Lsh.capBandBuckets(
+      index.repBands.unionByName(freshBands), "band_key", maxBandFreq,
+      "minhash-incr"))
+    val leftIds = freshRepIds.unionByName(gainedRepIds)
+    val cand = kept.join(leftIds, Seq("id"))
+      .select(col("band_key"), col("id").as("id_l"))
+      .join(kept.select(col("band_key"), col("id").as("id_r")),
+        Seq("band_key"))
+      .where(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    val allToks = reg(index.repToks.unionByName(freshDocs.select(
+      col("id"), array_distinct(tokens(col("text"))).as("toks"))))
+    val verified = cand
+      .join(allToks.select(col("id").as("id_a"), col("toks").as("ta")),
+        Seq("id_a"))
+      .join(allToks.select(col("id").as("id_b"), col("toks").as("tb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
+        col("jaccard"))
+    val allMembers = reg(index.members.select(col("id"), col("ckey"),
+      col("rid")).withColumn("is_new", lit(false))
+      .unionByName(newMembers.select(col("id"), col("ckey"), col("rid"))
+        .withColumn("is_new", lit(true))))
+    // cross-group expansion, batch-touching pairs only
+    val cross = verified
+      .join(allMembers.select(col("rid").as("rid_a"), col("id").as("ma"),
+        col("is_new").as("na")), Seq("rid_a"))
+      .join(allMembers.select(col("rid").as("rid_b"), col("id").as("mb"),
+        col("is_new").as("nb")), Seq("rid_b"))
+      .where(col("na") || col("nb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // intra-group: exact duplicates (jaccard 1.0) with a batch member
+    val intra = allMembers.select(col("ckey"), col("id").as("id_a"),
+      col("is_new").as("na"))
+      .join(allMembers.select(col("ckey"), col("id").as("id_b"),
+        col("is_new").as("nb")), Seq("ckey"))
+      .where(col("id_a") < col("id_b") && (col("na") || col("nb")) &&
+        lit(1.0) >= minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    intra.unionByName(cross)
+  }
+
   // ---- Winnowing document fingerprints ----------------------------
 
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03
