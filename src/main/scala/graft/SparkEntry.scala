@@ -105,7 +105,9 @@ object SparkEntry {
     "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
     "q_srp_hidim" -> ((s, sf) => DQ.srpHiDim(s, sf)),
     "q_audio_framesample" -> ((s, sf) => DQ.audioFrameSample(s, sf)),
+    "q_audio_adpcm" -> ((s, sf) => DQ.audioAdpcm(s, sf)),
     "q_video_frames" -> ((s, sf) => DQ.videoFrames(s, sf)),
+    "q_video_delta" -> ((s, sf) => DQ.videoDelta(s, sf)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -182,6 +184,7 @@ object SparkEntry {
     "q_embed_neardup" -> DQ.embedNearDupSql,
     "q_embed_clusters" -> DQ.embedClustersSql,
     "q_audio_framesample" -> DQ.audioFrameSampleSql,
+    "q_audio_adpcm" -> DQ.audioAdpcmSql,
     "q_zonal_approx_pct" -> EQ.zonalApproxPercentileSql,
     "q_zonal_gk_pct" -> EQ.zonalGkPercentileSql,
     "q_srp_neardup" -> DQ.srpNearDupSql,
@@ -189,5 +192,6 @@ object SparkEntry {
     "q_srp_banded" -> DQ.srpBandedSql,
     "q_srp_hidim" -> DQ.srpHiDimSql,
     "q_video_frames" -> DQ.videoFramesSql,
+    "q_video_delta" -> DQ.videoDeltaSql,
   )
 }

@@ -1325,4 +1325,78 @@ WITH px AS (
 SELECT k AS video_id, CAST(j AS INT) AS frame_idx,
   CAST(count(*) AS BIGINT) AS n_px, SUM(p) AS sum_px
 FROM px GROUP BY 1, 2"""
+
+  // ---- compressed media: IMA ADPCM audio, inter-frame delta video ----
+  val AdpcmTracks = 40
+  val AdpcmSamples = 1000
+  val AdpcmMae = 16.0
+
+  /** REAL compressed-audio decode: each clip is IMA ADPCM
+    * ([[graft.functions.AdpcmCodec]] — the WAV 0x0011 codec) of a
+    * triangle wave; the engine decodes the nibble stream and emits
+    * exact layout facts (sample count, first sample = the block
+    * predictor, encoded byte length — all arithmetic the oracle
+    * recomputes without decoding) plus a mean-abs-error quality gate
+    * against the generator formula (lossy codec ⇒ bounds, not
+    * equality — the jpegPsnr pattern). */
+  def audioAdpcm(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val n = AdpcmSamples
+    spark.range(0, AdpcmTracks).map { k =>
+      val bytes = graft.synth.Synth.adpcmTrack(k, n)
+      val dec = graft.functions.AdpcmCodec.decode(bytes)
+      var absErr = 0.0
+      var i = 0
+      while (i < dec.length) {
+        val o = math.abs(((k * 37 + i * 19) % 2000) - 1000) - 500
+        absErr += math.abs(dec(i) - o.toDouble)
+        i += 1
+      }
+      (k, dec.length.toLong, dec(0).toInt, bytes.length.toLong,
+        absErr / dec.length <= AdpcmMae)
+    }.toDF("track_id", "n_samples", "first_sample", "n_bytes", "mae_ok")
+  }
+
+  val audioAdpcmSql: String = s"""
+SELECT t.track_id,
+  CAST($AdpcmSamples AS BIGINT) AS n_samples,
+  CAST(ABS(((t.track_id * 37) % 2000) - 1000) - 500 AS INT)
+    AS first_sample,
+  CAST(4 + $AdpcmSamples / 2 AS BIGINT) AS n_bytes,
+  TRUE AS mae_ok
+FROM range(0, $AdpcmTracks) t(track_id)"""
+
+  /** REAL inter-frame video decode: the same pixel field as
+    * [[videoFrames]] but compressed temporally
+    * ([[graft.functions.DeltaVideoCodec]] — keyframe + P-frames of
+    * zigzag-varint RLE deltas). Every frame is reconstructed through
+    * the temporal dependency chain; the codec is lossless, so the
+    * oracle is EXACT equality with the generator formula — a frame
+    * mis-predicted from its predecessor would shift every later
+    * frame's sum. */
+  def videoDelta(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, VideoCount).flatMap { k =>
+      val (_, _, frames) = graft.functions.DeltaVideoCodec.decode(
+        graft.synth.Synth.videoDeltaStream(k, VideoNFrames, VideoW,
+          VideoH))
+      frames.zipWithIndex.map { case (px, j) =>
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        (k, j, px.length.toLong, sum)
+      }
+    }.toDF("video_id", "frame_idx", "n_px", "sum_px")
+  }
+
+  val videoDeltaSql: String = s"""
+WITH px AS (
+  SELECT v.k, f.j, r.r, c.c,
+    CAST((v.k * 31 + f.j * 17 + r.r * 7 + c.c * 3) % 251 AS DOUBLE) AS p
+  FROM range(0, $VideoCount) v(k), range(0, $VideoNFrames) f(j),
+       range(0, $VideoH) r(r), range(0, $VideoW) c(c)
+)
+SELECT k AS video_id, CAST(j AS INT) AS frame_idx,
+  CAST(count(*) AS BIGINT) AS n_px, SUM(p) AS sum_px
+FROM px GROUP BY 1, 2"""
 }

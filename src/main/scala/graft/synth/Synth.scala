@@ -173,6 +173,43 @@ object Synth {
     bb.array()
   }
 
+  /** A triangle-wave PCM16 clip compressed with IMA ADPCM
+    * ([[graft.functions.AdpcmCodec]]) — 4 header bytes + one nibble
+    * per sample after the first (~4:1 vs PCM16). Triangle (|((k·37 +
+    * i·19) mod 2000) − 1000| − 500): slope ±19 with no mod-wrap
+    * discontinuities, so the adaptive quantizer tracks it tightly and
+    * a mean-abs-error quality gate is meaningful (and the formula is
+    * plain SQL for the oracle). */
+  def adpcmTrack(k: Long, nSamples: Int): Array[Byte] = {
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) =
+        (math.abs(((k * 37 + i * 19) % 2000) - 1000) - 500).toShort
+      i += 1
+    }
+    graft.functions.AdpcmCodec.encode(samples)
+  }
+
+  /** The [[videoPngStream]] pixel field compressed with the
+    * inter-frame delta codec ([[graft.functions.DeltaVideoCodec]]):
+    * keyframe + P-frames of temporal deltas. Same formula, so the
+    * same plain-SQL oracle applies. */
+  def videoDeltaStream(k: Long, nFrames: Int, w: Int = 8,
+      h: Int = 8): Array[Byte] = {
+    val frames = (0 until nFrames).map { j =>
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val r = i / w; val c = i % w
+        px(i) = ((k * 31 + j * 17 + r * 7 + c * 3) % 251).toInt
+        i += 1
+      }
+      px
+    }
+    graft.functions.DeltaVideoCodec.encode(frames, w, h)
+  }
+
   /** Deterministic "video": `nFrames` gray16 PNG frames concatenated
     * byte-wise (MJPEG-with-PNG layout; split on the PNG signature by
     * [[graft.operators.Video]]). Pixel (r, c) of frame j in video k =
