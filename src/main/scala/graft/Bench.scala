@@ -364,7 +364,8 @@ object Bench {
       .empty[String, Seq[BenchTelemetry.Rep]]
     val qreps = if (smoke) 1 else 3
     for (name <- Seq("q_zonal_basic", "q_token_stats", "q_embed_topk",
-        "q_agg_pricing", "q_minhash_lsh", "q_minhash_clusters")) {
+        "q_agg_pricing", "q_minhash_lsh", "q_minhash_clusters",
+        "q_minhash_incr")) {
       val fn = SparkEntry.queries(name)
       val tc = System.nanoTime()
       fn(s32, sfDir).count() // cold

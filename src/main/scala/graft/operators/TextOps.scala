@@ -515,6 +515,53 @@ object TextOps {
     MinhashIndex(members, repToks, repBands)
   }
 
+  /** Resolve an ingest batch against a corpus index: every batch doc's
+    * global content group (corpus rid where the ckey already exists),
+    * plus the genuinely-new representatives' docs and band keys. */
+  private def resolveBatch(index: MinhashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, numBands: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val corpusGroups = index.members.select("ckey", "rid").distinct()
+    val newMembers = contentGroups(newDocs, idCol, textCol)
+      .join(corpusGroups.withColumnRenamed("rid", "crid"), Seq("ckey"),
+        "left")
+      .select(col("id"), col("ckey"),
+        coalesce(col("crid"), col("rid")).as("rid"),
+        col("crid").isNotNull.as("joined_corpus"))
+    val freshRepIds = newMembers
+      .where(!col("joined_corpus") && col("id") === col("rid"))
+      .select("id")
+    val freshDocs = newDocs.select(col(idCol).as("id"),
+      col(textCol).as("text")).join(freshRepIds, Seq("id"))
+    val freshBands = bandKeys(
+      minhashSignature(tokenHashes(freshDocs, "id", "text"), numHashes),
+      numBands, numHashes / numBands).select(col("id"), col("band_key"))
+    (newMembers, freshDocs, freshBands)
+  }
+
+  /** The index after ingesting a batch: batch docs join their content
+    * groups, genuinely-new contents add their representative's token
+    * set and band keys — only the BATCH is tokenized/signatured, and
+    * the result indexes corpus ∪ batch exactly as a from-scratch
+    * [[minhashIndex]] would (same groups, token sets and bands; under
+    * out-of-order ids an already-indexed group keeps its original
+    * representative, which changes no dedup semantics). Long-running
+    * ingest loops should write the updated frames back to storage per
+    * batch (re-rooting the union lineage) — the
+    * `IncrementalDedupSpec` maintenance loop models the pattern. */
+  def minhashIndexAppend(index: MinhashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int,
+      numBands: Int): MinhashIndex = {
+    val (newMembers, freshDocs, freshBands) =
+      resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
+    MinhashIndex(
+      members = index.members.unionByName(
+        newMembers.select(col("id"), col("ckey"), col("rid"))),
+      repToks = index.repToks.unionByName(freshDocs.select(col("id"),
+        array_distinct(tokens(col("text"))).as("toks"))),
+      repBands = index.repBands.unionByName(freshBands))
+  }
+
   /** Incremental MinHash-LSH near-dedup: all verified near-dup pairs
     * (token-set Jaccard >= minJaccard, sharing an LSH band)
     * INVOLVING AT LEAST ONE document of `newDocs`, given the
@@ -544,24 +591,14 @@ object TextOps {
       graft.engine.Caches.register(spark, () => { d.unpersist(false); () })
       d
     }
-    val rows = numHashes / numBands
     // global content resolution: a batch ckey found in the corpus
     // joins that group (rid = the CORPUS representative)
-    val corpusGroups = index.members.select("ckey", "rid").distinct()
-    val newMembers = reg(contentGroups(newDocs, idCol, textCol)
-      .join(corpusGroups.withColumnRenamed("rid", "crid"), Seq("ckey"),
-        "left")
-      .select(col("id"), col("ckey"),
-        coalesce(col("crid"), col("rid")).as("rid"),
-        col("crid").isNotNull.as("joined_corpus")))
+    val (newMembersRaw, freshDocs, freshBands) =
+      resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
+    val newMembers = reg(newMembersRaw)
     val freshRepIds = newMembers
       .where(!col("joined_corpus") && col("id") === col("rid"))
       .select("id")
-    val freshDocs = newDocs.select(col(idCol).as("id"),
-      col(textCol).as("text")).join(freshRepIds, Seq("id"))
-    val freshBands = bandKeys(
-      minhashSignature(tokenHashes(freshDocs, "id", "text"), numHashes),
-      numBands, rows).select(col("id"), col("band_key"))
     val gainedRepIds = newMembers.where(col("joined_corpus"))
       .select(col("rid").as("id")).distinct()
     // band universe = saved index + fresh reps; the frequency cap

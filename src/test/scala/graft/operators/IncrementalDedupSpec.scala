@@ -75,6 +75,46 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  test("index maintenance loop: appending batches reproduces the " +
+      "from-scratch index and accumulates exactly the full dedup " +
+      "pairs") {
+    val all = (corpus ++ batch).sortBy(_._1)
+    val batches = all.grouped(4).toSeq // 3 monotonic-id ingest batches
+    var idx = TextOps.minhashIndex(
+      batches.head.toDF("doc_id", "text"), "doc_id", "text",
+      NumHashes, NumBands)
+    var accum = Set.empty[(Long, Long, BigDecimal)]
+    for (b <- batches.tail) {
+      val bDf = b.toDF("doc_id", "text")
+      accum ++= pairs(TextOps.minhashDedupIncremental(idx, bDf,
+        "doc_id", "text", NumHashes, NumBands, MinJ))
+      idx = TextOps.minhashIndexAppend(idx, bDf, "doc_id", "text",
+        NumHashes, NumBands)
+    }
+    // pairs: first batch's internal pairs come from its own index
+    // build; everything else accumulated incrementally
+    val first = batches.head.map(_._1).toSet
+    val full = pairs(TextOps.minhashDedup(all.toDF("doc_id", "text"),
+      "doc_id", "text", NumHashes, NumBands, MinJ))
+    val expected = full.filterNot(p =>
+      first.contains(p._1) && first.contains(p._2))
+    assert(accum == expected,
+      s"accum=$accum\nexpected=$expected")
+    // the maintained index IS the from-scratch index (monotonic ids:
+    // every group keeps its min-id representative)
+    val scratch = TextOps.minhashIndex(all.toDF("doc_id", "text"),
+      "doc_id", "text", NumHashes, NumBands)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    assert(rowsOf(idx.members) == rowsOf(scratch.members))
+    assert(rowsOf(idx.repToks) == rowsOf(scratch.repToks))
+    assert(rowsOf(idx.repBands) == rowsOf(scratch.repBands))
+    graft.engine.Caches.drain(spark)
+  }
+
   test("null-text batch docs are never duplicates of anything") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val batchDf = Seq((20L, null: String), (21L, null: String),
