@@ -429,7 +429,7 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
         all.where(tr >= lit(grid.tilesY / 2)), batchId = 0L)
     }
     val zones = Fixtures.zonesBasic(grid)
-    val head = TileTable.currentVersion(table.root)
+    val head = table.version
     // yesterday's state: per-FID stats over the v1 snapshot
     val prev = ZonalEngine.fidStatsFor(spark,
       TileTable.openAt(table.root, 1).read(spark), zones, grid,

@@ -82,6 +82,8 @@ object AdpcmCodec {
     require(bytes.length >= 4, s"ADPCM block too short: ${bytes.length}")
     val pad = bytes(3) & 1
     val nCodes = (bytes.length - 4) * 2 - pad
+    require(nCodes >= 0,
+      "malformed ADPCM block: pad bit set with no code bytes")
     val out = new Array[Short](nCodes + 1)
     var pred: Int = ((bytes(1) << 8) | (bytes(0) & 0xff)).toShort.toInt
     var index = 0
@@ -137,6 +139,11 @@ object DeltaVideoCodec {
   def encode(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.length == w * h),
       s"every frame must be ${w}x$h")
+    require(w <= 0xffff && h <= 0xffff && frames.length <= 0xffff,
+      s"header fields are uint16: w=$w h=$h nFrames=${frames.length}")
+    require(frames.forall(_.forall(v => v >= 0 && v <= 0xffff)),
+      "pixels must be uint16 — a silently truncated keyframe would " +
+        "corrupt every temporally-predicted frame after it")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
     out.write(w >> 8); out.write(w & 0xff)

@@ -386,6 +386,15 @@ object TextOps {
       array_distinct(tokens(col("text"))).as("toks")).persist()
     graft.engine.Caches.register(spark,
       () => { tokSets.unpersist(false); () })
+    verifyJaccard(cand, tokSets, minJaccard)
+  }
+
+  /** Exact token-set Jaccard verification of candidate pairs: two
+    * equi-joins on id against the per-doc distinct-token arrays and
+    * one `array_intersect` per pair (the single source of the jaccard
+    * formula — shared by the batch and incremental dedup paths). */
+  private def verifyJaccard(cand: DataFrame, tokSets: DataFrame,
+      minJaccard: Double): DataFrame =
     cand
       .join(tokSets.select(col("id").as("id_a"), col("toks").as("ta")),
         Seq("id_a"))
@@ -397,7 +406,6 @@ object TextOps {
         (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Representative documents (one per distinct content, id = group
     * min id) of `df` given its content groups. */
@@ -520,7 +528,7 @@ object TextOps {
     * plus the genuinely-new representatives' docs and band keys. */
   private def resolveBatch(index: MinhashIndex, newDocs: DataFrame,
       idCol: String, textCol: String, numHashes: Int, numBands: Int):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val corpusGroups = index.members.select("ckey", "rid").distinct()
     val newMembers = contentGroups(newDocs, idCol, textCol)
       .join(corpusGroups.withColumnRenamed("rid", "crid"), Seq("ckey"),
@@ -536,7 +544,7 @@ object TextOps {
     val freshBands = bandKeys(
       minhashSignature(tokenHashes(freshDocs, "id", "text"), numHashes),
       numBands, numHashes / numBands).select(col("id"), col("band_key"))
-    (newMembers, freshDocs, freshBands)
+    (newMembers, freshRepIds, freshDocs, freshBands)
   }
 
   /** The index after ingesting a batch: batch docs join their content
@@ -552,7 +560,7 @@ object TextOps {
   def minhashIndexAppend(index: MinhashIndex, newDocs: DataFrame,
       idCol: String, textCol: String, numHashes: Int,
       numBands: Int): MinhashIndex = {
-    val (newMembers, freshDocs, freshBands) =
+    val (newMembers, _, freshDocs, freshBands) =
       resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
     MinhashIndex(
       members = index.members.unionByName(
@@ -593,12 +601,9 @@ object TextOps {
     }
     // global content resolution: a batch ckey found in the corpus
     // joins that group (rid = the CORPUS representative)
-    val (newMembersRaw, freshDocs, freshBands) =
+    val (newMembersRaw, freshRepIds, freshDocs, freshBands) =
       resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
     val newMembers = reg(newMembersRaw)
-    val freshRepIds = newMembers
-      .where(!col("joined_corpus") && col("id") === col("rid"))
-      .select("id")
     val gainedRepIds = newMembers.where(col("joined_corpus"))
       .select(col("rid").as("id")).distinct()
     // band universe = saved index + fresh reps; the frequency cap
@@ -617,16 +622,7 @@ object TextOps {
       .distinct()
     val allToks = reg(index.repToks.unionByName(freshDocs.select(
       col("id"), array_distinct(tokens(col("text"))).as("toks"))))
-    val verified = cand
-      .join(allToks.select(col("id").as("id_a"), col("toks").as("ta")),
-        Seq("id_a"))
-      .join(allToks.select(col("id").as("id_b"), col("toks").as("tb")),
-        Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
+    val verified = verifyJaccard(cand, allToks, minJaccard)
       .select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
         col("jaccard"))
     val allMembers = reg(index.members.select(col("id"), col("ckey"),

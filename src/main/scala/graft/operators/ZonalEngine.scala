@@ -123,7 +123,10 @@ object ZonalEngine {
       band: Option[Int] = None): DataFrame = {
     require(table.manifest.bands.isEmpty || band.isDefined,
       s"${table.root} is multi-band: pass the band to address")
-    val head = graft.sources.TileTable.currentVersion(table.root)
+    // the window's upper end is the SNAPSHOT's version, not the live
+    // head: a concurrent append must not leak rows into a merge whose
+    // fallback scan and saved stats describe this snapshot
+    val head = table.version
     val deltaAll = graft.sources.TileTable.readChanges(spark, table.root,
       fromVersion, head)
     val delta = band match {

@@ -309,13 +309,7 @@ object ZonalStats {
     * into exactly the stats of a full recompute. Infinity sentinels
     * from all-nodata fids survive min/max merging unchanged. */
   def mergeFidStats(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("fid").agg(
-      sum("cnt").as("cnt"),
-      sum("nodata").as("nodata"),
-      min("mn").as("mn"),
-      max("mx").as("mx"),
-      sum("sum").as("sum"),
-      sum("sumsq").as("sumsq"))
+    fidStats(a.unionByName(b))
 
   /** FID→group rollup + finalize (`runner.py:848-917`):
     * sums/counts add unconditionally; min/max merge only from fids

@@ -81,7 +81,12 @@ final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     writerBatches.getOrElse(TileTable.DefaultWriter, Nil)
 }
 
-class TileTable(val root: String, val manifest: TileManifest) {
+/** @param version the manifest version this snapshot was resolved
+  *   from — manifest versions are immutable, so every read (and any
+  *   CDC window anchored here, see [[TileTable.changedFiles]]) is
+  *   pinned to this version however many commits land concurrently. */
+class TileTable(val root: String, val manifest: TileManifest,
+    val version: Int) {
 
   /** Full scan (all data files). */
   def read(spark: SparkSession): DataFrame =
@@ -265,7 +270,7 @@ object TileTable {
       withCellColumn(tiles, grid, cellLevel), root, "data", n, bands)
     val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
     writeManifest(root, man)
-    new TileTable(root, man)
+    new TileTable(root, man, 1)
   }
 
   /** Tile-center Morton cell from image_id — the ONE definition of
@@ -557,7 +562,7 @@ object TileTable {
         case None => return t
         case Some(m2) =>
           if (commitManifest(root, m2, v + 1, op))
-            return new TileTable(root, m2)
+            return new TileTable(root, m2, v + 1)
         // else: lost the race — loop re-reads the winner's manifest
       }
     }
@@ -730,8 +735,7 @@ object TileTable {
   /** The operation tag of a committed version (None: version
     * unreadable, or a pre-tag legacy head). */
   def commitOp(root: String, version: Int): Option[String] =
-    store(root).readString(manifestRel(version))
-      .flatMap(txt => Option(mapper.readTree(txt).get("op")).map(_.asText()))
+    headParts(root, version).flatMap(_._3)
 
   private def headJson(m: TileManifest, segs: Seq[SegmentRef],
       op: String): String = {
@@ -855,7 +859,7 @@ object TileTable {
           DefaultWriter -> c.elements().asScala.map(_.asLong()).toSeq)
     new TileTable(root, TileManifest(grid, nodata,
       j.get("cellLevel").asInt(), files,
-      Option(j.get("srs")).map(_.asText()), bands, writers))
+      Option(j.get("srs")).map(_.asText()), bands, writers), version)
   }
 
   /** Data-file paths a manifest version head references — inline
@@ -880,8 +884,8 @@ object TileTable {
     * segment refs) WITHOUT loading any segment — the unit of work for
     * the segment-level diff in [[changedFiles]]. None: version not
     * readable. */
-  private def headParts(root: String,
-      version: Int): Option[(Seq[TileFileStat], Seq[SegmentRef])] =
+  private def headParts(root: String, version: Int)
+      : Option[(Seq[TileFileStat], Seq[SegmentRef], Option[String])] =
     store(root).readString(manifestRel(version)).map { txt =>
       val j = mapper.readTree(txt)
       val segs = Option(j.get("segments")).map(_.elements().asScala.map {
@@ -889,7 +893,8 @@ object TileTable {
           SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
             s.get("cellMin").asLong(), s.get("cellMax").asLong())
       }.toSeq).getOrElse(Nil)
-      (parseFiles(j.get("files")), segs)
+      (parseFiles(j.get("files")), segs,
+        Option(j.get("op")).map(_.asText()))
     }
 
   /** Data files APPENDED between manifest versions `fromVersion`
@@ -913,40 +918,47 @@ object TileTable {
       toVersion: Int): Seq[TileFileStat] = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    require(fromVersion == 0 || headParts(root, fromVersion).isDefined,
+    val fromParts = headParts(root, fromVersion)
+    require(fromVersion == 0 || fromParts.isDefined,
       s"manifest version $fromVersion of $root is not readable " +
         s"(present: ${versions(root).mkString("[", ",", "]")}) — " +
         "raise vacuum(retainVersions) to keep an incremental-read window")
+    // one head-JSON parse per version (each head is both a step's
+    // "current" and the next step's "predecessor" — carry it forward)
+    var prev = fromParts.getOrElse(
+      (Nil: Seq[TileFileStat], Nil: Seq[SegmentRef],
+        None: Option[String]))
     (fromVersion + 1 to toVersion).flatMap { v =>
-      val (pFiles, pSegs) = headParts(root, v - 1).getOrElse(
-        if (v - 1 == 0) (Nil, Nil)
-        else throw new java.nio.file.NoSuchFileException(
-          s"$root/${manifestRel(v - 1)} — vacuumed mid-window"))
-      val (cFiles, cSegs) = headParts(root, v).getOrElse(
+      val cur@(cFiles, cSegs, op) = headParts(root, v).getOrElse(
         throw new java.nio.file.NoSuchFileException(
           s"$root/${manifestRel(v)}"))
-      val prevRefs = pSegs.map(_.path).toSet
-      val curRefs = cSegs.map(_.path).toSet
-      // only non-shared segments are ever loaded
-      val droppedPaths = pSegs.filterNot(s => curRefs.contains(s.path))
-        .flatMap(loadSegment(root, _).map(_.path)).toSet ++
-        pFiles.map(_.path)
-      val fresh = cSegs.filterNot(s => prevRefs.contains(s.path))
-        .flatMap(loadSegment(root, _)) ++ cFiles
-      val added = fresh.filterNot(f => droppedPaths.contains(f.path))
-      // a head lists each path at most once, so a dropped segment's
-      // files can never also live in a SHARED segment — removal
-      // detection needs only the non-shared side of both heads
-      val removed = droppedPaths -- fresh.iterator.map(_.path)
-      commitOp(root, v) match {
-        case Some(OpReplace) => Nil // rewrite: same rows, new files
-        case op =>
-          if (removed.nonEmpty) throw new IllegalStateException(
-            s"incremental read of $root across version $v: files were " +
-              s"removed by a commit tagged ${op.getOrElse("<untagged>")} " +
-              "— appended rows cannot be derived across an untagged " +
-              "rewrite (compact() tags its commits 'replace')")
-          added
+      val (pFiles, pSegs, _) = prev
+      prev = cur
+      // a compaction step (OpReplace) rewrites existing rows into new
+      // files and contributes nothing — decided from the op tag alone,
+      // BEFORE any segment load: crossing a whole-table rewrite costs
+      // one head parse, not two O(table) metadata passes
+      if (op.contains(OpReplace)) Nil
+      else {
+        val prevRefs = pSegs.map(_.path).toSet
+        val curRefs = cSegs.map(_.path).toSet
+        // only non-shared segments are ever loaded
+        val droppedPaths = pSegs.filterNot(s => curRefs.contains(s.path))
+          .flatMap(loadSegment(root, _).map(_.path)).toSet ++
+          pFiles.map(_.path)
+        val fresh = cSegs.filterNot(s => prevRefs.contains(s.path))
+          .flatMap(loadSegment(root, _)) ++ cFiles
+        val added = fresh.filterNot(f => droppedPaths.contains(f.path))
+        // a head lists each path at most once, so a dropped segment's
+        // files can never also live in a SHARED segment — removal
+        // detection needs only the non-shared side of both heads
+        val removed = droppedPaths -- fresh.iterator.map(_.path)
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"incremental read of $root across version $v: files were " +
+            s"removed by a commit tagged ${op.getOrElse("<untagged>")} " +
+            "— appended rows cannot be derived across an untagged " +
+            "rewrite (compact() tags its commits 'replace')")
+        added
       }
     }
   }
