@@ -108,6 +108,53 @@ class TileTableChangesSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  test("CDC reads run unchanged against the CAS (object-store) " +
+      "manifest double, including across a compaction") {
+    val dir = Files.createTempDirectory("graft-cdc-cas").toString + "/t"
+    val store = new InMemoryCasStore
+    ManifestStore.register(dir, store)
+    try {
+      val all = Synth.tiles(spark, grid)
+      val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+        .cast("int")
+      val south = all.where(tr >= lit(grid.tilesY / 2))
+      TileTable.write(spark, all.where(tr < lit(grid.tilesY / 2)), grid,
+        Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+      TileTable.appendBatch(spark, dir, south, batchId = 0L)
+      TileTable.compact(spark, dir, numFiles = 1, keepOld = true)
+      TileTable.appendBatch(spark, dir, all.limit(2), batchId = 1L)
+      assert(store.keys.exists(_.startsWith("manifest-v4")),
+        "metadata plane not in the double")
+      val nSouth = south.count()
+      assert(TileTable.readChanges(spark, dir, 1, 4).count() ==
+        nSouth + 2)
+      assert(TileTable.changedFiles(dir, 2, 3).isEmpty)
+    } finally ManifestStore.unregister(dir)
+  }
+
+  test("runIncremental across a compaction step folds only the " +
+      "true appends and still equals a full recompute") {
+    val (dir, _, _) = splitTable()
+    TileTable.compact(spark, dir, numFiles = 1, keepOld = true) // v3
+    val extra = Synth.tiles(spark, grid).limit(3)
+    TileTable.appendBatch(spark, dir, extra, batchId = 1L) // v4
+    val zones = Fixtures.zonesBasic(grid)
+    val table = TileTable.open(dir)
+    assert(table.version == 4)
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(dir, 1).read(spark), zones, grid, Some(-9999.0))
+    val inc = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1)
+    val fullRun = ZonalEngine.run(spark, table.read(spark), zones, grid,
+      Some(-9999.0))
+    val cols = fullRun.columns.sorted.map(col)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(rows(inc).toSeq == rows(fullRun).toSeq)
+    graft.engine.Caches.drain(spark)
+  }
+
   test("runIncremental equals a full recompute at the head") {
     val (dir, _, _) = splitTable()
     val zones = Fixtures.zonesBasic(grid)
