@@ -100,6 +100,47 @@ object Bench {
     }
   }
 
+  /** Derived growth-path fixture (built once, cached like the bench
+    * table): the same 1M tiles as `root` but committed as v1 = the
+    * north 90% + an appended batch of the south 10%, with v1's
+    * per-FID zonal stats SAVED to parquet — yesterday's state for
+    * [[runIncrementalUpdate]]. */
+  def ensureIncrTable(spark: SparkSession, root: String): Unit = {
+    val incr = root + "_incr"
+    if (TileTable.exists(incr)) return
+    val base = TileTable.open(root)
+    val split = benchGrid.tilesY * 9 / 10
+    val tr = org.apache.spark.sql.functions
+      .regexp_extract(org.apache.spark.sql.functions.col("image_id"),
+        "tile_(\\d+)_(\\d+)", 1).cast("int")
+    import org.apache.spark.sql.functions.lit
+    TileTable.write(spark, base.read(spark).where(tr < lit(split)),
+      benchGrid, base.nodata, incr, cellLevel = 12, numFiles = 460)
+    TileTable.appendBatch(spark, incr,
+      base.read(spark).where(tr >= lit(split)), batchId = 0L,
+      numFiles = 52)
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(incr, 1).read(spark), benchZones(benchGrid),
+      benchGrid, base.nodata)
+    prev.write.mode("overwrite").parquet(root + "_incr_prev")
+    graft.engine.Caches.drain(spark)
+  }
+
+  /** The incremental growth path at bench scale: fold ONLY the
+    * appended 10% delta's per-FID stats into the saved v1 stats and
+    * finalize ([[ZonalEngine.runIncremental]]) — the daily-append
+    * alternative to rescanning the whole table, measured against the
+    * interleaved direct reps in the same child JVM. */
+  def runIncrementalUpdate(spark: SparkSession, root: String): Double = {
+    val table = TileTable.open(root + "_incr")
+    val prev = spark.read.parquet(root + "_incr_prev")
+    val t0 = System.nanoTime()
+    val n = ZonalEngine.runIncremental(spark, table,
+      benchZones(benchGrid), prev, fromVersion = 1).count()
+    require(n > 0)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One zonal+overlap run; returns wall seconds. Phase timings go to
     * stderr when SPARK_GRAFT_BENCH_PHASES=1. */
   def runWorkload(spark: SparkSession, root: String): Double = {
@@ -336,9 +377,15 @@ object Bench {
     val direct = RepStats.of(paths.get("direct"))
     val ckpt = RepStats.of(paths.get("ckpt"))
     val fallback = RepStats.of(paths.get("fallback"))
+    val incrReps = RepStats.of(paths.get("incr"))
     results("zonal_direct_p32") = median(direct.wall)
     results("zonal_checkpointed_p32") = median(ckpt.wall)
     results("fallback_sliver_p32") = median(fallback.wall)
+    results("zonal_incremental_p32") = median(incrReps.wall)
+    // the growth-path claim in one number: appending 10% of the table
+    // should cost ~10-20% of a full recompute, not ~100%
+    results("incremental_over_direct") =
+      median(incrReps.wall) / median(direct.wall)
 
     // representative operator queries at sf. q_minhash_lsh is BACK in
     // the loop: the round-5 exact-content collapse makes its candidate
@@ -460,6 +507,7 @@ object Bench {
       pathJson("direct", direct) + "," +
       pathJson("ckpt", ckpt) + "," +
       pathJson("fallback", fallback) + "," +
+      pathJson("incr", incrReps) + "," +
       summary + "}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LINE.json"), fullLine + "\n")

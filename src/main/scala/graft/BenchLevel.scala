@@ -150,13 +150,20 @@ object BenchPaths {
     }
     val fallback = (1 to pairs).map(_ =>
       t { Bench.runFallbackSliver(s, root); () })
+    // incremental growth path: fold the appended 10% delta into the
+    // saved v1 stats — compared against the direct reps above (same
+    // child JVM, so the incremental/direct ratio is drift-robust)
+    Bench.ensureIncrTable(s, root)
+    val incr = (1 to pairs).map(_ =>
+      t { Bench.runIncrementalUpdate(s, root); () })
     s.stop()
     // scalastyle:off println
     println("BENCHPATHS" +
       s"""{"warmup":${BenchTelemetry.json(warmup)},""" +
       s""""direct":${BenchTelemetry.jsonArr(direct.toSeq)},""" +
       s""""ckpt":${BenchTelemetry.jsonArr(ckpt.toSeq)},""" +
-      s""""fallback":${BenchTelemetry.jsonArr(fallback)}}""")
+      s""""fallback":${BenchTelemetry.jsonArr(fallback)},""" +
+      s""""incr":${BenchTelemetry.jsonArr(incr)}}""")
     // scalastyle:on println
   }
 }

@@ -7,10 +7,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Multimodal column operators: images are REAL (decode via the
   * ImageDecode Catalyst expression, resize/stats as codegen'd
   * higher-order functions over the pixel array); audio/video are
-  * treated as opaque binary with typed metadata and DETERMINISTIC
-  * STUB decoders (this container has no media libraries — the
-  * Spark-side plumbing, schemas and batch shapes are real and
-  * tested; swap the stub for a proper codec in production).
+  * opaque binary with typed metadata. Real codecs in this repo:
+  * PCM16 + IMA ADPCM audio and the inter-frame delta video codec
+  * ([[graft.functions.AdpcmCodec]]/[[graft.functions.DeltaVideoCodec]]),
+  * plus the PNG-container frame split below; industry formats whose
+  * decoders need native media libraries (MP3/AAC, H.26x) remain out
+  * of scope in this container — the Spark-side plumbing, schemas and
+  * batch shapes they'd plug into are the ones tested here.
   */
 object ImageOps {
 
@@ -146,13 +149,13 @@ object ImageOps {
   }
 }
 
-/** Deterministic STUB decoders for audio/video binary columns — the
-  * real codecs are not available in this container; these define the
-  * schema/partitioning/batch contract and a reproducible fake payload
-  * so pipelines are testable end-to-end. */
+/** Uncompressed-audio decoders (PCM16) — the raw end of the audio
+  * path; the compressed end is [[graft.functions.AdpcmCodec]]. These
+  * also define the schema/partitioning/batch contract any external
+  * codec plugs into. */
 object MultimodalStubs {
 
-  /** STUB audio decode: interpret bytes as PCM16 little-endian.
+  /** Audio decode: interpret bytes as PCM16 little-endian.
     * (This part is real for actual PCM16; for compressed formats a
     * codec would replace it.) */
   def pcm16Samples(bytes: Array[Byte]): Array[Short] = {
@@ -184,8 +187,10 @@ object MultimodalStubs {
   * of MJPEG, with PNG in place of JPEG). Frames are recovered by
   * scanning for the 8-byte PNG signature (public PNG spec §5.2) and
   * decoded by the engine's own PNG decoder — no fake checksums, no
-  * fixed frame size assumptions. Compressed inter-frame codecs
-  * (H.26x) remain out of scope (COVERAGE.md).
+  * fixed frame size assumptions. Inter-frame (temporal-prediction)
+  * compression lives in [[graft.functions.DeltaVideoCodec]];
+  * industry-standard H.26x decode stays out of scope in this
+  * container (COVERAGE.md).
   */
 object Video {
   /** \x89 P N G \r \n \x1a \n */

@@ -618,9 +618,18 @@ object TileTable {
     * checkpoint gets a fresh query id, so its restarted batch 0 is a
     * new batch, not a replay). Streaming ingest fragments the layout
     * by design — run [[compact]] periodically to restore it. */
+  /** @param numFiles data files for the batch. The default 1 fits
+    *   streaming micro-batches; a BULK append (a daily 10%-of-table
+    *   ingest) must spread across many files — one file is one
+    *   parquet row group, and a downstream incremental read of the
+    *   delta ([[readChanges]]) would decode it in a single task
+    *   however many cores the cluster has (measured 10× slower than
+    *   the same rows in a parallel layout). */
   def appendBatch(spark: SparkSession, root: String, tiles: DataFrame,
       batchId: Long,
-      writerId: String = DefaultWriter): TileTable = withTableLock(root) {
+      writerId: String = DefaultWriter,
+      numFiles: Int = 1): TileTable = withTableLock(root) {
+    require(numFiles > 0, "numFiles must be positive")
     val t = open(root)
     if (batchCommitted(t.manifest, writerId, batchId)) t // replay
     else {
@@ -632,7 +641,7 @@ object TileTable {
       val dir = s"append-$batchId-" +
         java.util.UUID.randomUUID().toString.take(8)
       val withCell = withCellColumn(tiles, t.grid, t.manifest.cellLevel)
-      val stats = writeDataFiles(spark, withCell, root, dir, 1,
+      val stats = writeDataFiles(spark, withCell, root, dir, numFiles,
         t.manifest.bands)
       mutateManifest(root) { m =>
         if (batchCommitted(m, writerId, batchId)) None // twin won — no-op

@@ -56,6 +56,35 @@ object Prof {
         System.err.println(
           s"PROF $qname n=${fn(s, sf).count()} " +
             f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "incrphases" =>
+        // phase breakdown of the bench incremental growth path; sfDir
+        // arg doubles as the bench-table root
+        val root = sf
+        graft.Bench.ensureIncrTable(s, root)
+        val table = graft.sources.TileTable.open(root + "_incr")
+        val zones = graft.Bench.benchZones(graft.Bench.benchGrid)
+        val prev = s.read.parquet(root + "_incr_prev")
+        def ph(tag: String)(b: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val cnt = b
+          System.err.println(
+            f"PHASE $tag n=$cnt ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        for (_ <- 1 to n) {
+          ph("readChanges") { graft.sources.TileTable
+            .readChanges(s, root + "_incr", 1, table.version).count() }
+          val delta = graft.sources.TileTable
+            .readChanges(s, root + "_incr", 1, table.version)
+          val ds = graft.operators.ZonalEngine.fidStatsFor(s, delta,
+            zones, graft.Bench.benchGrid, Some(-9999.0))
+          ph("deltaStats") { ds.count() }
+          ph("merged") {
+            graft.operators.ZonalStats.mergeFidStats(prev, ds).count() }
+          ph("runIncremental") {
+            graft.operators.ZonalEngine.runIncremental(s, table, zones,
+              prev, 1).count() }
+          graft.engine.Caches.drain(s)
+        }
       case other => sys.error(s"unknown mode '$other' (reps|plan|count)")
     } finally s.stop()
   }
