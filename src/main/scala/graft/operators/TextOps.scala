@@ -638,14 +638,20 @@ object TextOps {
       .where(col("na") || col("nb"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    // intra-group: exact duplicates (jaccard 1.0) with a batch member
-    val intra = allMembers.select(col("ckey"), col("id").as("id_a"),
-      col("is_new").as("na"))
-      .join(allMembers.select(col("ckey"), col("id").as("id_b"),
-        col("is_new").as("nb")), Seq("ckey"))
-      .where(col("id_a") < col("id_b") && (col("na") || col("nb")) &&
-        lit(1.0) >= minJaccard)
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // intra-group: exact duplicates (jaccard 1.0) with a batch member.
+    // The BATCH side drives the join (never allMembers ⋈ allMembers —
+    // that is a corpus-sized shuffle per ingest batch; this is
+    // batch × group-members, shuffle-free against a ckey-bucketed
+    // saved index). distinct folds the two orientations of
+    // batch-batch pairs; it runs on the output-sized intra set.
+    val intra = newMembers.select(col("ckey"), col("id").as("id_n"))
+      .join(allMembers.select(col("ckey"), col("id").as("id_m")),
+        Seq("ckey"))
+      .where(col("id_n") =!= col("id_m") && lit(1.0) >= minJaccard)
+      .select(least(col("id_n"), col("id_m")).as("id_a"),
+        greatest(col("id_n"), col("id_m")).as("id_b"),
+        lit(1.0).as("jaccard"))
+      .distinct()
     intra.unionByName(cross)
   }
 
