@@ -497,7 +497,26 @@ object TextOps {
     * @param repBands (id, band_key) — each representative's LSH band
     *   keys, the join target for new batches */
   final case class MinhashIndex(members: DataFrame, repToks: DataFrame,
-    repBands: DataFrame)
+    repBands: DataFrame) {
+
+    /** Persist the three frames under `dir` (members/, repToks/,
+      * repBands/). Plain parquet here; a catalog deployment should
+      * `bucketBy(ckey|id|band_key)` via saveAsTable so the per-batch
+      * joins in [[minhashDedupIncremental]] are shuffle-free on the
+      * corpus side. */
+    def save(dir: String): Unit = {
+      members.write.mode("overwrite").parquet(s"$dir/members")
+      repToks.write.mode("overwrite").parquet(s"$dir/repToks")
+      repBands.write.mode("overwrite").parquet(s"$dir/repBands")
+    }
+  }
+
+  /** Reload a [[MinhashIndex]] persisted by [[MinhashIndex.save]]. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): MinhashIndex =
+    MinhashIndex(spark.read.parquet(s"$dir/members"),
+      spark.read.parquet(s"$dir/repToks"),
+      spark.read.parquet(s"$dir/repBands"))
 
   /** Build the [[MinhashIndex]] of a corpus (one pass: content
     * collapse, per-representative signatures, banding). Frames are

@@ -33,6 +33,72 @@ object DocStream {
       .select(col(idCol), col("content_hash"), col("event_time"))
   }
 
+  /** foreachBatch sink that keeps a corpus CONTINUOUSLY near-deduped:
+    * each micro-batch is deduplicated against the persisted
+    * [[graft.operators.TextOps.MinhashIndex]] (all verified near-dup
+    * pairs touching the batch append to `pairsDir`) and then folded
+    * into the index ([[graft.operators.TextOps.minhashIndexAppend]]) so
+    * the NEXT batch sees this one's documents. The full banded near-dup
+    * semantics online — strictly more than [[signatureDedupStream]]'s
+    * signature-equality prefilter, at foreachBatch (not per-row) cost.
+    *
+    * Index state is VERSIONED BY BATCH (`b<id>/` + a
+    * `batch-<id>.done` marker as the LAST step): every write a batch
+    * performs targets paths derived from its own id with overwrite
+    * semantics (its pairs land in `pairsDir/batch-<id>`, its grown
+    * index in `indexDir/b<id>`), and a replayed batch whose marker
+    * exists is a pure no-op. A crash at ANY earlier point makes the
+    * replay redo the batch deterministically against the latest
+    * MARKED index version — partial pairs/index output from the
+    * crashed attempt is overwritten, never appended to, so nothing
+    * duplicates and nothing is lost. Marked `b<id>` dirs are
+    * immutable; versions older than the latest marker can be deleted
+    * once no reader holds them. Read the pair log with
+    * `spark.read.parquet(s"$pairsDir/batch-*")`.
+    *
+    * Scale shape per batch: O(batch) banding + joins against the
+    * saved index (see minhashDedupIncremental); the index read is
+    * lazy, so only the joined partitions stream. */
+  def incrementalDedupSink(indexDir: String, pairsDir: String,
+      idCol: String, textCol: String, numHashes: Int, numBands: Int,
+      minJaccard: Double): (DataFrame, Long) => Unit = {
+    import graft.operators.TextOps
+    import scala.jdk.CollectionConverters._
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val base = java.nio.file.Paths.get(indexDir)
+      java.nio.file.Files.createDirectories(base)
+      if (java.nio.file.Files.exists(base.resolve(s"batch-$batchId.done")))
+        () // replayed batch: already applied, emit nothing
+      else {
+        val applied = {
+          val s = java.nio.file.Files.list(base)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .flatMap {
+              case m if m.startsWith("batch-") && m.endsWith(".done") =>
+                m.stripPrefix("batch-").stripSuffix(".done").toLongOption
+              case _ => None
+            }.toSeq
+          finally s.close()
+        }
+        val idx =
+          if (applied.isEmpty) TextOps.minhashIndex(batch.limit(0),
+            idCol, textCol, numHashes, numBands)
+          else TextOps.loadMinhashIndex(spark,
+            s"$indexDir/b${applied.max}")
+        TextOps.minhashDedupIncremental(idx, batch, idCol, textCol,
+          numHashes, numBands, minJaccard)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch-$batchId")
+        TextOps.minhashIndexAppend(idx, batch, idCol, textCol,
+          numHashes, numBands).save(s"$indexDir/b$batchId")
+        java.nio.file.Files.createFile(
+          base.resolve(s"batch-$batchId.done"))
+        graft.engine.Caches.drain(spark)
+        ()
+      }
+    }
+  }
+
   /** Streaming MinHash-SIGNATURE dedup — the streaming analogue of
     * the batch pipeline's exact-content COLLAPSE step (the hot-bucket
     * guard): documents whose full signature matches one seen within
