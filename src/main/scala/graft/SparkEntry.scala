@@ -48,6 +48,7 @@ object SparkEntry {
     "q_jpeg_psnr" -> ((s, _) => EQ.jpegPsnr(s)),
     "q_image_dhash" -> ((s, _) => EQ.imageDhash(s)),
     "q_image_neardup" -> ((s, _) => EQ.imageNearDup(s)),
+    "q_image_incr" -> ((s, _) => EQ.imageIncr(s)),
     "q_image_clusters" -> ((s, _) => EQ.imageClusters(s)),
     // generic relational operators
     "q_agg_pricing" -> ((s, sf) => GQ.aggPricing(s, sf)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_zonal_approx_pct" -> ((s, _) => EQ.zonalApproxPercentile(s)),
     "q_zonal_gk_pct" -> ((s, _) => EQ.zonalGkPercentile(s)),
     "q_srp_neardup" -> ((s, sf) => DQ.srpNearDup(s, sf)),
+    "q_srp_incr" -> ((s, sf) => DQ.srpIncr(s, sf)),
     "q_srp_multiprobe" -> ((s, sf) => DQ.srpMultiProbe(s, sf)),
     "q_srp_banded" -> ((s, sf) => DQ.srpBanded(s, sf)),
     "q_srp_hidim" -> ((s, sf) => DQ.srpHiDim(s, sf)),
@@ -136,6 +138,7 @@ object SparkEntry {
     "q_jpeg_psnr" -> EQ.jpegPsnrSql,
     "q_image_dhash" -> EQ.imageDhashSql,
     "q_image_neardup" -> EQ.imageNearDupSql,
+    "q_image_incr" -> EQ.imageIncrSql,
     "q_image_clusters" -> EQ.imageClustersSql,
     "q_agg_pricing" -> GQ.aggPricingSql,
     "q_join_nation_rev" -> GQ.joinNationRevenueSql,
@@ -188,6 +191,7 @@ object SparkEntry {
     "q_zonal_approx_pct" -> EQ.zonalApproxPercentileSql,
     "q_zonal_gk_pct" -> EQ.zonalGkPercentileSql,
     "q_srp_neardup" -> DQ.srpNearDupSql,
+    "q_srp_incr" -> DQ.srpIncrSql,
     "q_srp_multiprobe" -> DQ.srpMultiProbeSql,
     "q_srp_banded" -> DQ.srpBandedSql,
     "q_srp_hidim" -> DQ.srpHiDimSql,

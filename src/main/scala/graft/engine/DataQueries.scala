@@ -966,6 +966,25 @@ SELECT * FROM (
 
   val srpNearDupSql: String = srpPairSql("ba.bucket = bb.bucket")
 
+  /** Incremental embedding dedup: corpus = vec_id % 5 != 4 (indexed
+    * once via [[Similarity.srpIndex]]), batch = the % 5 == 4 vectors;
+    * the result must equal the FULL single-probe SRP dedup filtered
+    * to batch-touching pairs — the oracle is [[srpNearDupSql]]'s body
+    * plus that predicate (the q_minhash_incr pattern on the embedding
+    * modality). */
+  def srpIncr(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val idx = Similarity.srpIndex(e.where(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", SrpDim, SrpPlanes)
+    Similarity.srpNearDupIncremental(idx,
+      e.where(col("vec_id") % 5 === 4), "vec_id", "embedding",
+      SrpDim, SrpPlanes, SrpThreshold)
+  }
+
+  val srpIncrSql: String =
+    srpPairSql("ba.bucket = bb.bucket") +
+      " AND (id_a % 5 = 4 OR id_b % 5 = 4)"
+
   /** Multi-probe SRP: Hamming-1 bucket probes for recall — candidate
     * pairs are exactly those whose buckets differ in at most one bit,
     * which the oracle states directly via bit_count(xor(...)). */

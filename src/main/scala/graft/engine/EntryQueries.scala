@@ -895,6 +895,51 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
 FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 2"""
 
+  /** Incremental image dedup: corpus = the NORTH half's tiles (rows
+    * 0–3); the ingest batch = the south half PLUS exact `~dup` copies
+    * of the north tiles — so every batch population is exercised:
+    * fresh hash values (south tiles), values the batch GAINED members
+    * in (the dup copies, which must inherit their value's Hamming
+    * neighborhood), and batch-batch pairs. Must equal the FULL
+    * corpus∪batch near-dup set filtered to batch-touching pairs —
+    * which is exactly what the oracle computes (the q_image_neardup
+    * brute-force SQL + the batch predicate). */
+  def imageIncr(spark: SparkSession): DataFrame = {
+    val withDh = imageDhash(spark).persist()
+    graft.engine.Caches.register(spark,
+      () => { withDh.unpersist(false); () })
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val corpus = withDh.where(tr < 4)
+    val batch = withDh.where(tr >= 4).unionByName(
+      withDh.where(tr < 4).select(
+        concat(col("image_id"), lit("~dup")).as("image_id"),
+        col("dhash")))
+    val idx = graft.operators.ImageOps.dhashIndex(corpus, "image_id",
+      "dhash", bands = 4, bitsPerBand = 14)
+    graft.operators.ImageOps.dhashNearDupIncremental(idx, batch,
+      "image_id", "dhash", bands = 4, bitsPerBand = 14, maxHamming = 2)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
+  val imageIncrSql: String = s"""$dhashCte,
+all_ids AS (
+  SELECT image_id, dhash FROM dh
+  UNION ALL
+  SELECT image_id || '~dup', dhash FROM dh
+    WHERE substr(image_id, 6, 4) < '0004'
+)
+SELECT * FROM (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+  FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+)
+WHERE NOT (
+  (id_a NOT LIKE '%~dup' AND substr(id_a, 6, 4) < '0004') AND
+  (id_b NOT LIKE '%~dup' AND substr(id_b, 6, 4) < '0004'))"""
+
   /** Image dedup CLUSTERS: the dHash near-dup pairs feed connected
     * components — one canonical tile per perceptual-duplicate group
     * (comp = the group's minimum image_id). The oracle recomputes the

@@ -76,9 +76,20 @@ object ImageOps {
     * Hamming ≤ bands−1 is guaranteed caught, and candidates shuffle
     * on the band key, never the all-pairs space. Exact `bit_count`
     * filter afterwards. */
-  def dhashNearDupPairs(df: DataFrame, idCol: String, dhCol: String,
-      bands: Int, bitsPerBand: Int, maxHamming: Int,
-      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+  /** The per-value LSH band keys (band index + that band's bits) —
+    * the ONE definition shared by the batch pairs path and the
+    * incremental index. */
+  private def dhashBandKeys(bands: Int, bitsPerBand: Int): Column = {
+    val mask = (1L << bitsPerBand) - 1
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("dh"), b * bitsPerBand).bitwiseAND(lit(mask))
+          .as("bits"))
+    }: _*)
+  }
+
+  private def requirePigeonhole(bands: Int, bitsPerBand: Int,
+      maxHamming: Int): Unit = {
     require(bands >= 1 && bitsPerBand >= 1)
     // pigeonhole: maxHamming differing bits can touch at most
     // maxHamming bands, so some band matches exactly ONLY when
@@ -87,12 +98,13 @@ object ImageOps {
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands for " +
         s"the pigeonhole recall guarantee, got $bands")
-    val mask = (1L << bitsPerBand) - 1
-    val bandKeysArr = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("dh"), b * bitsPerBand).bitwiseAND(lit(mask))
-          .as("bits"))
-    }: _*)
+  }
+
+  def dhashNearDupPairs(df: DataFrame, idCol: String, dhCol: String,
+      bands: Int, bitsPerBand: Int, maxHamming: Int,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    requirePigeonhole(bands, bitsPerBand, maxHamming)
+    val bandKeysArr = dhashBandKeys(bands, bitsPerBand)
     // HOT-BUCKET GUARD: blank/solid-color frames — the dominant
     // duplicate class in web image corpora — give m tiles ONE dhash
     // value and would meet as m² candidate rows inside each band
@@ -131,6 +143,84 @@ object ImageOps {
       .join(members.select(col("dh"), col("id").as("id_b")), Seq("dh"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    intra.unionByName(cross)
+  }
+
+  /** Persistable dHash index of a deduped image corpus — the
+    * incremental state for the IMAGE modality: id→value members plus
+    * the band keys of each DISTINCT hash value (the value-level
+    * collapse is the index's shape, so a corpus of 10⁶ blank frames
+    * indexes as ONE banded value). Save `valueBands` bucketed by
+    * `key` and `members` by `dh` for shuffle-free per-batch joins. */
+  final case class DhashIndex(members: DataFrame, valueBands: DataFrame)
+
+  def dhashIndex(df: DataFrame, idCol: String, dhCol: String,
+      bands: Int, bitsPerBand: Int): DhashIndex = {
+    val members = df.select(col(idCol).as("id"), col(dhCol).as("dh"))
+    DhashIndex(members,
+      members.select("dh").distinct()
+        .select(col("dh"),
+          explode(dhashBandKeys(bands, bitsPerBand)).as("key")))
+  }
+
+  /** Incremental perceptual dedup: all pairs within Hamming <=
+    * maxHamming involving a batch image, given the corpus
+    * [[DhashIndex]] — value-identical to [[dhashNearDupPairs]] over
+    * corpus ∪ batch filtered to batch-touching pairs (oracle-pinned
+    * by q_image_incr). Only the batch's hash VALUES band: genuinely
+    * new values join the saved index; values the batch GAINED members
+    * in (a new copy of a known image must inherit that value's
+    * Hamming neighborhood — the dominant ingest case) re-enter the
+    * band join from the index side. Member expansion keeps only
+    * batch-touching pairs, so corpus-internal pairs never re-emit. */
+  def dhashNearDupIncremental(index: DhashIndex, newDf: DataFrame,
+      idCol: String, dhCol: String, bands: Int, bitsPerBand: Int,
+      maxHamming: Int, maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    requirePigeonhole(bands, bitsPerBand, maxHamming)
+    val newMembers = newDf.select(col(idCol).as("id"),
+      col(dhCol).as("dh"))
+    val corpusVals = index.members.select("dh").distinct()
+    val batchVals = newMembers.select("dh").distinct()
+    val freshVals = batchVals.join(corpusVals, Seq("dh"), "left_anti")
+    val gainedVals = batchVals.join(corpusVals, Seq("dh"), "left_semi")
+    val freshBands = freshVals.select(col("dh"),
+      explode(dhashBandKeys(bands, bitsPerBand)).as("key"))
+    // the frequency cap must see the value universe (index + fresh)
+    // so a bucket is kept or dropped consistently for both join sides
+    val kept = Lsh.capBandBuckets(
+      index.valueBands.unionByName(freshBands), "key", maxBandFreq,
+      "dhash-incr")
+    val leftVals = freshVals.unionByName(gainedVals)
+    val valPairs = kept.join(leftVals, Seq("dh"))
+      .select(col("key"), col("dh").as("dh_l"))
+      .join(kept.select(col("key"), col("dh").as("dh_r")), Seq("key"))
+      .where(col("dh_l") =!= col("dh_r"))
+      .select(least(col("dh_l"), col("dh_r")).as("dh_a"),
+        greatest(col("dh_l"), col("dh_r")).as("dh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+    val allMembers = index.members.withColumn("is_new", lit(false))
+      .unionByName(newMembers.withColumn("is_new", lit(true)))
+    val cross = valPairs
+      .join(allMembers.select(col("dh").as("dh_a"), col("id").as("ma"),
+        col("is_new").as("na")), Seq("dh_a"))
+      .join(allMembers.select(col("dh").as("dh_b"), col("id").as("mb"),
+        col("is_new").as("nb")), Seq("dh_b"))
+      .where(col("na") || col("nb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    // intra-value: the batch side drives (never members ⋈ members);
+    // distinct folds the two orientations of batch-batch pairs
+    val intra = newMembers.select(col("dh"), col("id").as("id_n"))
+      .join(allMembers.select(col("dh"), col("id").as("id_m")),
+        Seq("dh"))
+      .where(col("id_n") =!= col("id_m"))
+      .select(least(col("id_n"), col("id_m")).as("id_a"),
+        greatest(col("id_n"), col("id_m")).as("id_b"),
+        lit(0).cast("int").as("hamming"))
+      .distinct()
     intra.unionByName(cross)
   }
 

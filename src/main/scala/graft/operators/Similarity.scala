@@ -74,6 +74,41 @@ object Similarity {
   def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     graft.functions.functions.srp_bucket(vec, dim, numPlanes)
 
+  /** Persistable SRP bucket index of an embedding corpus — the
+    * incremental-dedup state for the EMBEDDING modality (the
+    * [[graft.operators.TextOps.minhashIndex]] analogue; no content
+    * collapse needed — pair semantics are direct on vectors). Save
+    * bucketed by `bucket` so per-batch joins in
+    * [[srpNearDupIncremental]] are shuffle-free on the corpus side. */
+  def srpIndex(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+
+  /** Incremental SRP near-dedup: all cosine >= threshold pairs
+    * sharing an SRP bucket that INVOLVE a batch vector, given the
+    * corpus [[srpIndex]] — value-identical to [[srpNearDupPairs]]
+    * over corpus ∪ batch filtered to batch-touching pairs
+    * (oracle-pinned by q_srp_incr), at O(batch) banding cost: only
+    * the batch is ever projected; the index is the static equi-join
+    * target. Batch-batch pairs surface via the batch side joining
+    * itself in the union; `distinct` folds their two orientations. */
+  def srpNearDupIncremental(index: DataFrame, newDf: DataFrame,
+      idCol: String, vecCol: String, dim: Int, numPlanes: Int,
+      threshold: Double): DataFrame = {
+    val newB = srpIndex(newDf, idCol, vecCol, dim, numPlanes)
+    val all = index.unionByName(newB)
+    newB.select(col("bucket"), col("id").as("id_l"), col("v").as("vl"))
+      .join(all.select(col("bucket"), col("id").as("id_r"),
+        col("v").as("vr")), Seq("bucket"))
+      .where(col("id_l") =!= col("id_r"))
+      .withColumn("score", cosine(col("vl"), col("vr")))
+      .where(col("score") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("score"))
+      .distinct()
+  }
+
   /** Bucketed ANN near-dup: candidates only within equal SRP bucket,
     * then exact cosine filter — same output columns as
     * [[cosineNearDupPairs]] but with bucket-join complexity. */

@@ -42,6 +42,30 @@ class SimilaritySpec extends SparkSpec {
     assert(srp.subsetOf(brute))
   }
 
+  test("incremental SRP dedup equals the full recompute filtered to " +
+      "batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val df = mkVecs(60, 16)
+    val corpus = df.where(col("vec_id") % 5 =!= 4)
+    val batch = df.where(col("vec_id") % 5 === 4)
+    def pairs(res: org.apache.spark.sql.DataFrame) =
+      res.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.srpIndex(corpus, "vec_id", "embedding",
+      dim = 16, numPlanes = 8)
+    val inc = pairs(Similarity.srpNearDupIncremental(idx, batch,
+      "vec_id", "embedding", dim = 16, numPlanes = 8,
+      threshold = 0.95))
+    val full = pairs(Similarity.srpNearDupPairs(df, "vec_id",
+      "embedding", dim = 16, numPlanes = 8, threshold = 0.95))
+    val expected = full.filter(p => p._1 % 5 == 4 || p._2 % 5 == 4)
+    assert(inc == expected, s"inc=$inc\nexpected=$expected")
+    assert(inc.nonEmpty, "fixture must exercise the batch side")
+    assert(full.exists(p => p._1 % 5 != 4 && p._2 % 5 != 4),
+      "fixture must contain corpus-internal pairs the incremental " +
+        "result correctly omits")
+  }
+
   test("multi-probe SRP: recall >= 0.9 of exact pairs, beats single-probe") {
     val df = mkVecs(200, 16)
     val threshold = 0.95
