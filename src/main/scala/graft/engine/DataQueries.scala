@@ -315,7 +315,7 @@ SELECT * FROM (
     val idx = TextOps.minhashIndex(corpus, "doc_id", "text",
       MinHashNum, MinHashBands)
     TextOps.minhashDedupIncremental(idx, batch, "doc_id", "text",
-      MinHashNum, MinHashBands, MinHashJaccard)
+      MinHashJaccard)
   }
 
   val minhashIncrSql: String =
@@ -978,7 +978,7 @@ SELECT * FROM (
       "vec_id", "embedding", SrpDim, SrpPlanes)
     Similarity.srpNearDupIncremental(idx,
       e.where(col("vec_id") % 5 === 4), "vec_id", "embedding",
-      SrpDim, SrpPlanes, SrpThreshold)
+      SrpThreshold)
   }
 
   val srpIncrSql: String =

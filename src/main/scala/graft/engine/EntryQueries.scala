@@ -866,19 +866,28 @@ SELECT image_id, dhash FROM dh"""
   /** dHash per tile with an exact `~dup` copy of every tile — the
     * ONE fixture shared by the image near-dup and cluster queries
     * (hash-once-persist: dhash feeds several plan branches). */
-  private def dupDoubledDhash(spark: SparkSession): DataFrame = {
+  private def persistedDhash(spark: SparkSession): DataFrame = {
     val withDh = imageDhash(spark).persist()
     graft.engine.Caches.register(spark,
       () => { withDh.unpersist(false); () })
+    withDh
+  }
+
+  private def dupDoubledDhash(spark: SparkSession): DataFrame = {
+    val withDh = persistedDhash(spark)
     withDh.unionByName(withDh.select(
       concat(col("image_id"), lit("~dup")).as("image_id"), col("dhash")))
   }
 
-  /** The ONE band-join parameterization both image-dedup queries use
+  /** The ONE band-join parameterization every image-dedup query uses
     * (4 × 14-bit bands, Hamming ≤ 2 — pigeonhole-complete). */
+  private val DhashBands = 4
+  private val DhashBits = 14
+  private val DhashMaxHamming = 2
+
   private def dhashPairs(all: DataFrame): DataFrame =
     graft.operators.ImageOps.dhashNearDupPairs(all, "image_id", "dhash",
-      bands = 4, bitsPerBand = 14, maxHamming = 2)
+      DhashBands, DhashBits, DhashMaxHamming)
 
   def imageNearDup(spark: SparkSession): DataFrame =
     dhashPairs(dupDoubledDhash(spark))
@@ -905,20 +914,19 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 2"""
     * which is exactly what the oracle computes (the q_image_neardup
     * brute-force SQL + the batch predicate). */
   def imageIncr(spark: SparkSession): DataFrame = {
-    val withDh = imageDhash(spark).persist()
-    graft.engine.Caches.register(spark,
-      () => { withDh.unpersist(false); () })
+    val withDh = persistedDhash(spark)
+    val half = Synth.testGrid.tilesY / 2
     val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
       .cast("int")
-    val corpus = withDh.where(tr < 4)
-    val batch = withDh.where(tr >= 4).unionByName(
-      withDh.where(tr < 4).select(
+    val corpus = withDh.where(tr < half)
+    val batch = withDh.where(tr >= half).unionByName(
+      withDh.where(tr < half).select(
         concat(col("image_id"), lit("~dup")).as("image_id"),
         col("dhash")))
     val idx = graft.operators.ImageOps.dhashIndex(corpus, "image_id",
-      "dhash", bands = 4, bitsPerBand = 14)
+      "dhash", DhashBands, DhashBits)
     graft.operators.ImageOps.dhashNearDupIncremental(idx, batch,
-      "image_id", "dhash", bands = 4, bitsPerBand = 14, maxHamming = 2)
+      "image_id", "dhash", DhashMaxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("long").as("hamming"))
   }

@@ -68,14 +68,6 @@ object ImageOps {
     })
   }
 
-  /** Image near-duplicate pairs by dHash Hamming distance ≤
-    * `maxHamming`, found through an LSH band join (the SRP-banded
-    * pattern applied to perceptual bits): the hash splits into
-    * `bands` disjoint bit bands and a pair is a candidate iff ANY
-    * band matches exactly — by pigeonhole every pair within
-    * Hamming ≤ bands−1 is guaranteed caught, and candidates shuffle
-    * on the band key, never the all-pairs space. Exact `bit_count`
-    * filter afterwards. */
   /** The per-value LSH band keys (band index + that band's bits) —
     * the ONE definition shared by the batch pairs path and the
     * incremental index. */
@@ -100,6 +92,14 @@ object ImageOps {
         s"the pigeonhole recall guarantee, got $bands")
   }
 
+  /** Image near-duplicate pairs by dHash Hamming distance ≤
+    * `maxHamming`, found through an LSH band join (the SRP-banded
+    * pattern applied to perceptual bits): the hash splits into
+    * `bands` disjoint bit bands and a pair is a candidate iff ANY
+    * band matches exactly — by pigeonhole every pair within
+    * Hamming ≤ bands−1 is guaranteed caught, and candidates shuffle
+    * on the band key, never the all-pairs space. Exact `bit_count`
+    * filter afterwards. */
   def dhashNearDupPairs(df: DataFrame, idCol: String, dhCol: String,
       bands: Int, bitsPerBand: Int, maxHamming: Int,
       maxBandFreq: Int = Int.MaxValue): DataFrame = {
@@ -152,7 +152,8 @@ object ImageOps {
     * collapse is the index's shape, so a corpus of 10⁶ blank frames
     * indexes as ONE banded value). Save `valueBands` bucketed by
     * `key` and `members` by `dh` for shuffle-free per-batch joins. */
-  final case class DhashIndex(members: DataFrame, valueBands: DataFrame)
+  final case class DhashIndex(members: DataFrame, valueBands: DataFrame,
+    bands: Int, bitsPerBand: Int)
 
   def dhashIndex(df: DataFrame, idCol: String, dhCol: String,
       bands: Int, bitsPerBand: Int): DhashIndex = {
@@ -160,7 +161,8 @@ object ImageOps {
     DhashIndex(members,
       members.select("dh").distinct()
         .select(col("dh"),
-          explode(dhashBandKeys(bands, bitsPerBand)).as("key")))
+          explode(dhashBandKeys(bands, bitsPerBand)).as("key")),
+      bands, bitsPerBand)
   }
 
   /** Incremental perceptual dedup: all pairs within Hamming <=
@@ -174,15 +176,19 @@ object ImageOps {
     * band join from the index side. Member expansion keeps only
     * batch-touching pairs, so corpus-internal pairs never re-emit. */
   def dhashNearDupIncremental(index: DhashIndex, newDf: DataFrame,
-      idCol: String, dhCol: String, bands: Int, bitsPerBand: Int,
-      maxHamming: Int, maxBandFreq: Int = Int.MaxValue): DataFrame = {
+      idCol: String, dhCol: String, maxHamming: Int,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    val bands = index.bands
+    val bitsPerBand = index.bitsPerBand
     requirePigeonhole(bands, bitsPerBand, maxHamming)
     val newMembers = newDf.select(col(idCol).as("id"),
       col(dhCol).as("dh"))
-    val corpusVals = index.members.select("dh").distinct()
+    // the index's distinct values, shuffle-free: valueBands holds one
+    // row per (value, band), so band 0 is exactly one row per value
+    val corpusVals = index.valueBands
+      .where(col("key.band") === 0).select("dh")
     val batchVals = newMembers.select("dh").distinct()
     val freshVals = batchVals.join(corpusVals, Seq("dh"), "left_anti")
-    val gainedVals = batchVals.join(corpusVals, Seq("dh"), "left_semi")
     val freshBands = freshVals.select(col("dh"),
       explode(dhashBandKeys(bands, bitsPerBand)).as("key"))
     // the frequency cap must see the value universe (index + fresh)
@@ -190,8 +196,9 @@ object ImageOps {
     val kept = Lsh.capBandBuckets(
       index.valueBands.unionByName(freshBands), "key", maxBandFreq,
       "dhash-incr")
-    val leftVals = freshVals.unionByName(gainedVals)
-    val valPairs = kept.join(leftVals, Seq("dh"))
+    // the left side is every batch value: fresh ones (now in `kept`
+    // via freshBands) plus gained ones (already banded in the index)
+    val valPairs = kept.join(batchVals, Seq("dh"))
       .select(col("key"), col("dh").as("dh_l"))
       .join(kept.select(col("key"), col("dh").as("dh_r")), Seq("key"))
       .where(col("dh_l") =!= col("dh_r"))

@@ -77,13 +77,20 @@ object Similarity {
   /** Persistable SRP bucket index of an embedding corpus — the
     * incremental-dedup state for the EMBEDDING modality (the
     * [[graft.operators.TextOps.minhashIndex]] analogue; no content
-    * collapse needed — pair semantics are direct on vectors). Save
+    * collapse needed — pair semantics are direct on vectors). The
+    * projection parameters travel WITH the frame: a batch bucketed
+    * under different hyperplanes would share no keys with the index
+    * and silently lose every fresh-vs-corpus pair. Save `vectors`
     * bucketed by `bucket` so per-batch joins in
     * [[srpNearDupIncremental]] are shuffle-free on the corpus side. */
+  final case class SrpIndex(vectors: DataFrame, dim: Int,
+    numPlanes: Int)
+
   def srpIndex(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numPlanes: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+      dim: Int, numPlanes: Int): SrpIndex =
+    SrpIndex(df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim, numPlanes)),
+      dim, numPlanes)
 
   /** Incremental SRP near-dedup: all cosine >= threshold pairs
     * sharing an SRP bucket that INVOLVE a batch vector, given the
@@ -93,11 +100,11 @@ object Similarity {
     * the batch is ever projected; the index is the static equi-join
     * target. Batch-batch pairs surface via the batch side joining
     * itself in the union; `distinct` folds their two orientations. */
-  def srpNearDupIncremental(index: DataFrame, newDf: DataFrame,
-      idCol: String, vecCol: String, dim: Int, numPlanes: Int,
-      threshold: Double): DataFrame = {
-    val newB = srpIndex(newDf, idCol, vecCol, dim, numPlanes)
-    val all = index.unionByName(newB)
+  def srpNearDupIncremental(index: SrpIndex, newDf: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val newB = srpIndex(newDf, idCol, vecCol, index.dim,
+      index.numPlanes).vectors
+    val all = index.vectors.unionByName(newB)
     newB.select(col("bucket"), col("id").as("id_l"), col("v").as("vl"))
       .join(all.select(col("bucket"), col("id").as("id_r"),
         col("v").as("vr")), Seq("bucket"))

@@ -497,10 +497,15 @@ object TextOps {
     * @param repBands (id, band_key) — each representative's LSH band
     *   keys, the join target for new batches */
   final case class MinhashIndex(members: DataFrame, repToks: DataFrame,
-    repBands: DataFrame) {
+    repBands: DataFrame, numHashes: Int, numBands: Int) {
 
     /** Persist the three frames under `dir` (members/, repToks/,
-      * repBands/). Plain parquet here; a catalog deployment should
+      * repBands/) plus the banding parameters (params.json) — the
+      * index is only meaningful under the parameters it was banded
+      * with, so they travel WITH it and [[loadMinhashIndex]] restores
+      * them (a batch banded with different parameters would silently
+      * share no band keys with the index — zero recall, no error).
+      * Plain parquet here; a catalog deployment should
       * `bucketBy(ckey|id|band_key)` via saveAsTable so the per-batch
       * joins in [[minhashDedupIncremental]] are shuffle-free on the
       * corpus side. */
@@ -508,15 +513,27 @@ object TextOps {
       members.write.mode("overwrite").parquet(s"$dir/members")
       repToks.write.mode("overwrite").parquet(s"$dir/repToks")
       repBands.write.mode("overwrite").parquet(s"$dir/repBands")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "params.json"),
+        s"""{"numHashes":$numHashes,"numBands":$numBands}""")
     }
   }
 
   /** Reload a [[MinhashIndex]] persisted by [[MinhashIndex.save]]. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): MinhashIndex =
+      dir: String): MinhashIndex = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "params.json"))
+    def intOf(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"$dir/params.json missing $k"))
+        .group(1).toInt
     MinhashIndex(spark.read.parquet(s"$dir/members"),
       spark.read.parquet(s"$dir/repToks"),
-      spark.read.parquet(s"$dir/repBands"))
+      spark.read.parquet(s"$dir/repBands"),
+      intOf("numHashes"), intOf("numBands"))
+  }
 
   /** Build the [[MinhashIndex]] of a corpus (one pass: content
     * collapse, per-representative signatures, banding). Frames are
@@ -539,15 +556,17 @@ object TextOps {
       minhashSignature(tokenHashes(reps, "id", "text"), numHashes),
       numBands, numHashes / numBands)
       .select(col("id"), col("band_key")))
-    MinhashIndex(members, repToks, repBands)
+    MinhashIndex(members, repToks, repBands, numHashes, numBands)
   }
 
   /** Resolve an ingest batch against a corpus index: every batch doc's
     * global content group (corpus rid where the ckey already exists),
     * plus the genuinely-new representatives' docs and band keys. */
   private def resolveBatch(index: MinhashIndex, newDocs: DataFrame,
-      idCol: String, textCol: String, numHashes: Int, numBands: Int):
+      idCol: String, textCol: String):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val numHashes = index.numHashes
+    val numBands = index.numBands
     val corpusGroups = index.members.select("ckey", "rid").distinct()
     val newMembers = contentGroups(newDocs, idCol, textCol)
       .join(corpusGroups.withColumnRenamed("rid", "crid"), Seq("ckey"),
@@ -577,11 +596,10 @@ object TextOps {
     * batch (re-rooting the union lineage) — the
     * `IncrementalDedupSpec` maintenance loop models the pattern. */
   def minhashIndexAppend(index: MinhashIndex, newDocs: DataFrame,
-      idCol: String, textCol: String, numHashes: Int,
-      numBands: Int): MinhashIndex = {
+      idCol: String, textCol: String): MinhashIndex = {
     val (newMembers, _, freshDocs, freshBands) =
-      resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
-    MinhashIndex(
+      resolveBatch(index, newDocs, idCol, textCol)
+    index.copy(
       members = index.members.unionByName(
         newMembers.select(col("id"), col("ckey"), col("rid"))),
       repToks = index.repToks.unionByName(freshDocs.select(col("id"),
@@ -610,8 +628,8 @@ object TextOps {
     * a batch doc on at least one side, so previously-reported
     * corpus-internal pairs are never re-emitted. */
   def minhashDedupIncremental(index: MinhashIndex, newDocs: DataFrame,
-      idCol: String, textCol: String, numHashes: Int, numBands: Int,
-      minJaccard: Double, maxBandFreq: Int = Int.MaxValue): DataFrame = {
+      idCol: String, textCol: String, minJaccard: Double,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
     val spark = newDocs.sparkSession
     def reg(d: DataFrame): DataFrame = {
       d.persist()
@@ -621,7 +639,7 @@ object TextOps {
     // global content resolution: a batch ckey found in the corpus
     // joins that group (rid = the CORPUS representative)
     val (newMembersRaw, freshRepIds, freshDocs, freshBands) =
-      resolveBatch(index, newDocs, idCol, textCol, numHashes, numBands)
+      resolveBatch(index, newDocs, idCol, textCol)
     val newMembers = reg(newMembersRaw)
     val gainedRepIds = newMembers.where(col("joined_corpus"))
       .select(col("rid").as("id")).distinct()

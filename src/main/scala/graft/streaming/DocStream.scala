@@ -87,10 +87,10 @@ object DocStream {
           else TextOps.loadMinhashIndex(spark,
             s"$indexDir/b${applied.max}")
         TextOps.minhashDedupIncremental(idx, batch, idCol, textCol,
-          numHashes, numBands, minJaccard)
+          minJaccard)
           .write.mode("overwrite").parquet(s"$pairsDir/batch-$batchId")
-        TextOps.minhashIndexAppend(idx, batch, idCol, textCol,
-          numHashes, numBands).save(s"$indexDir/b$batchId")
+        TextOps.minhashIndexAppend(idx, batch, idCol, textCol)
+          .save(s"$indexDir/b$batchId")
         java.nio.file.Files.createFile(
           base.resolve(s"batch-$batchId.done"))
         graft.engine.Caches.drain(spark)

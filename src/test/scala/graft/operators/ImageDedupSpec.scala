@@ -59,8 +59,7 @@ class ImageDedupSpec extends SparkSpec {
     val idx = ImageOps.dhashIndex(corpus, "image_id", "dhash",
       bands = 4, bitsPerBand = 14)
     val inc = pairs(ImageOps.dhashNearDupIncremental(idx, batch,
-      "image_id", "dhash", bands = 4, bitsPerBand = 14,
-      maxHamming = 2))
+      "image_id", "dhash", maxHamming = 2))
     val full = pairs(ImageOps.dhashNearDupPairs(
       corpus.unionByName(batch), "image_id", "dhash",
       bands = 4, bitsPerBand = 14, maxHamming = 2))

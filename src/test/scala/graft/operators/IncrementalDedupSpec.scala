@@ -49,7 +49,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val idx = TextOps.minhashIndex(corpusDf, "doc_id", "text",
       NumHashes, NumBands)
     val inc = pairs(TextOps.minhashDedupIncremental(idx, batchDf,
-      "doc_id", "text", NumHashes, NumBands, MinJ))
+      "doc_id", "text", MinJ))
 
     val full = pairs(TextOps.minhashDedup(
       corpusDf.unionByName(batchDf), "doc_id", "text",
@@ -87,9 +87,8 @@ class IncrementalDedupSpec extends SparkSpec {
     for (b <- batches.tail) {
       val bDf = b.toDF("doc_id", "text")
       accum ++= pairs(TextOps.minhashDedupIncremental(idx, bDf,
-        "doc_id", "text", NumHashes, NumBands, MinJ))
-      idx = TextOps.minhashIndexAppend(idx, bDf, "doc_id", "text",
-        NumHashes, NumBands)
+        "doc_id", "text", MinJ))
+      idx = TextOps.minhashIndexAppend(idx, bDf, "doc_id", "text")
     }
     // pairs: first batch's internal pairs come from its own index
     // build; everything else accumulated incrementally
@@ -123,7 +122,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val idx = TextOps.minhashIndex(corpusDf, "doc_id", "text",
       NumHashes, NumBands)
     val inc = pairs(TextOps.minhashDedupIncremental(idx, batchDf,
-      "doc_id", "text", NumHashes, NumBands, MinJ))
+      "doc_id", "text", MinJ))
     assert(!inc.exists(p => p._1 >= 20L && p._1 <= 21L) &&
       !inc.exists(p => p._2 >= 20L && p._2 <= 21L), inc.toString)
     assert(inc.map(p => (p._1, p._2)) ==

@@ -54,8 +54,7 @@ class SimilaritySpec extends SparkSpec {
     val idx = Similarity.srpIndex(corpus, "vec_id", "embedding",
       dim = 16, numPlanes = 8)
     val inc = pairs(Similarity.srpNearDupIncremental(idx, batch,
-      "vec_id", "embedding", dim = 16, numPlanes = 8,
-      threshold = 0.95))
+      "vec_id", "embedding", threshold = 0.95))
     val full = pairs(Similarity.srpNearDupPairs(df, "vec_id",
       "embedding", dim = 16, numPlanes = 8, threshold = 0.95))
     val expected = full.filter(p => p._1 % 5 == 4 || p._2 % 5 == 4)

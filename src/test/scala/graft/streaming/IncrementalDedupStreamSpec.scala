@@ -92,9 +92,9 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     mem.save(dir)
     val loaded = TextOps.loadMinhashIndex(spark, dir)
     val a = pairSet(TextOps.minhashDedupIncremental(mem, batch,
-      "doc_id", "text", NumHashes, NumBands, MinJ))
+      "doc_id", "text", MinJ))
     val b = pairSet(TextOps.minhashDedupIncremental(loaded, batch,
-      "doc_id", "text", NumHashes, NumBands, MinJ))
+      "doc_id", "text", MinJ))
     assert(a == b && a.nonEmpty)
     graft.engine.Caches.drain(spark)
   }
