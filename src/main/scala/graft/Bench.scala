@@ -107,7 +107,15 @@ object Bench {
     * [[runIncrementalUpdate]]. */
   def ensureIncrTable(spark: SparkSession, root: String): Unit = {
     val incr = root + "_incr"
-    if (TileTable.exists(incr)) return
+    // gate on the LAST artifact of the build (the prev-stats parquet,
+    // via its _SUCCESS marker), not the first: a crash between the
+    // table commit and the prev-stats write would otherwise leave a
+    // half-built fixture that every later run trips over
+    if (TileTable.exists(incr) && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root + "_incr_prev", "_SUCCESS"))) return
+    if (TileTable.exists(incr))
+      graft.engine.Checkpoints.deleteRecursively(
+        java.nio.file.Paths.get(incr))
     val base = TileTable.open(root)
     val split = benchGrid.tilesY * 9 / 10
     val tr = org.apache.spark.sql.functions

@@ -36,6 +36,8 @@ object SparkEntry {
     "q_zonal_lastwins" -> ((s, _) => EQ.zonalLastWins(s)),
     "q_zonal_checkpointed" -> ((s, _) => EQ.zonalCheckpointed(s)),
     "q_zonal_incremental" -> ((s, _) => EQ.zonalIncremental(s)),
+    "q_zonal_after_delete" -> ((s, _) => EQ.zonalAfterDelete(s)),
+    "q_schema_evolution" -> ((s, _) => EQ.schemaEvolution(s)),
     "q_zonal_reprojected" -> ((s, _) => EQ.zonalReprojected(s)),
     "q_zonal_band2" -> ((s, _) => EQ.zonalBand2(s)),
     "q_zonal_ties" -> ((s, _) => EQ.zonalTies(s)),
@@ -127,6 +129,8 @@ object SparkEntry {
     "q_zonal_lastwins" -> EQ.zonalLastWinsSql,
     "q_zonal_checkpointed" -> EQ.zonalCheckpointedSql,
     "q_zonal_incremental" -> EQ.zonalIncrementalSql,
+    "q_zonal_after_delete" -> EQ.zonalAfterDeleteSql,
+    "q_schema_evolution" -> EQ.schemaEvolutionSql,
     "q_zonal_reprojected" -> EQ.zonalReprojectedSql,
     "q_zonal_band2" -> EQ.zonalBand2Sql,
     "q_zonal_ties" -> EQ.zonalTiesSql,

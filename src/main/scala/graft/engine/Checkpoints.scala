@@ -92,6 +92,11 @@ object Checkpoints {
       .append(manifest.bands.map(b => s"${b.band}:${b.nodata}")
         .mkString(",")).append('|')
     sb.append(collectValues)
+    // row-level deletes change a chunk's LIVE rows without changing
+    // its file list — memoized chunk stats must not survive them
+    if (manifest.deletes.nonEmpty)
+      sb.append('|').append(manifest.deletes
+        .map(d => s"${d.path}:${d.nKeys}").mkString(","))
     f"${XXHash64.hashString(sb.toString, 42L)}%016x"
   }
 
@@ -192,8 +197,12 @@ object Checkpoints {
       if (!isChunkDone(ckptDir, i, fp)) {
         val t0 = System.nanoTime()
         val dir = chunkDir(ckptDir, i)
-        val raw = spark.read.parquet(
-          files.map(f => s"${table.root}/${f.path}"): _*)
+        // tombstones apply per raw file-group scan — the chunked path
+        // bypasses table.read(), so it must fold the deletes itself;
+        // scanRaw also pins the TABLE schema (evolution defaults, no
+        // per-file footer inference)
+        val raw = table.applyDeletes(spark,
+          table.scanRaw(spark, files.map(_.path)))
         val tiles = band.map(b => raw.where(col("band") === b))
           .getOrElse(raw)
         if (collectValues) {
@@ -361,6 +370,10 @@ object Checkpoints {
     * @param keepCheckpoints false = the reference's
     *   `clean_working_dir=True` (`runner.py:921-923`): materialize the
     *   result, then delete the checkpoint dir.
+    * @param fidStatsSink when set, receives the merged per-FID stats
+    *   frame before the engine tail — the INI job path persists them
+    *   (with the table version) so its NEXT run can fold only the CDC
+    *   delta ([[ZonalJob.singleRaster]]) instead of rescanning.
     */
   def resumableZonalStats(spark: SparkSession, table: TileTable,
       zones: Seq[Zone], ckptDir: String, runId: String,
@@ -369,7 +382,8 @@ object Checkpoints {
       maxChunks: Int = DefaultMaxChunks,
       keepCheckpoints: Boolean = true,
       exactPercentiles: Boolean = true,
-      band: Option[Int] = None): DataFrame = {
+      band: Option[Int] = None,
+      fidStatsSink: Option[DataFrame => Unit] = None): DataFrame = {
     import spark.implicits._
     val percs = ZonalEngine.normalizePercentiles(percentiles)
     val zonesSimpl = zones.map(z =>
@@ -383,6 +397,7 @@ object Checkpoints {
       filesOverride = Some(table.prunedFiles(env)), band = band)
     val zonesDf = zonesSimpl.map(z => (z.fid, Option(z.group)))
       .toDF("fid", "group")
+    fidStatsSink.foreach(_(fidStats))
     val res = ZonalEngine.finishStats(spark, fidStats, vals, zonesSimpl,
       zonesDf, table.grid, table.nodataFor(band), percs, exactPercentiles,
       e => table.readPruned(spark, e, band), histogram = None)
@@ -393,6 +408,61 @@ object Checkpoints {
       deleteRecursively(Paths.get(ckptDir))
       res
     }
+  }
+
+  /** Persist a per-FID stats frame (the `fidStats` shape) + the table
+    * version it describes as an atomic JSON sidecar — doubles as raw
+    * IEEE-754 bits, so ±Infinity sentinels and exact values survive
+    * (the chunk-stats convention). Dimension-sized by the engine's
+    * zones-are-broadcastable assumption, hence driver-side. */
+  def writeFidStatsSidecar(path: String, fidStats: org.apache.spark.sql
+      .DataFrame, version: Int): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("version", version)
+    val arr = o.putArray("fids")
+    fidStats.select("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+      .collect().sortBy(_.getLong(0)).foreach { r =>
+        val n = arr.addObject()
+        n.put("fid", r.getLong(0)); n.put("cnt", r.getLong(1))
+        n.put("nodata", r.getLong(2))
+        n.put("mn", java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+        n.put("mx", java.lang.Double.doubleToRawLongBits(r.getDouble(4)))
+        n.put("sum", java.lang.Double.doubleToRawLongBits(r.getDouble(5)))
+        n.put("sumsq",
+          java.lang.Double.doubleToRawLongBits(r.getDouble(6)))
+      }
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(o))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Reload a [[writeFidStatsSidecar]] file → (stats frame, table
+    * version); None when absent/unreadable. */
+  def readFidStatsSidecar(spark: SparkSession,
+      path: String): Option[(org.apache.spark.sql.DataFrame, Int)] = {
+    import spark.implicits._
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else try {
+      val j = mapper.readTree(Files.readString(p))
+      val v = j.get("version").asInt()
+      val rows = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Long, Long, Double, Double, Double,
+          Double)]
+      j.get("fids").forEach { n =>
+        rows += ((n.get("fid").asLong(), n.get("cnt").asLong(),
+          n.get("nodata").asLong(),
+          java.lang.Double.longBitsToDouble(n.get("mn").asLong()),
+          java.lang.Double.longBitsToDouble(n.get("mx").asLong()),
+          java.lang.Double.longBitsToDouble(n.get("sum").asLong()),
+          java.lang.Double.longBitsToDouble(n.get("sumsq").asLong())))
+      }
+      Some((rows.toSeq
+        .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq"), v))
+    } catch { case _: Exception => None }
   }
 
   /** Back-compat alias: resumable run without percentiles /

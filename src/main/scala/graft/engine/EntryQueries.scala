@@ -19,8 +19,10 @@ object EntryQueries {
   // ---------------------------------------------------------------
 
   /** Shared SQL prologue: the pixel grid + per-zone assignment, as
-    * pure arithmetic over `range()` — self-contained in DuckDB. */
-  private def zonalPrologue: String = {
+    * pure arithmetic over `range()` — self-contained in DuckDB.
+    * `pxFilter` restricts the pixel universe (tile-level deletes in
+    * the q_zonal_after_delete fixture remove whole 16-px rows). */
+  private def zonalPrologue(pxFilter: String = "TRUE"): String = {
     val membership = Fixtures.zonesBasicSqlMembership.map {
       case (fid, grp, cond) =>
         val g = if (grp == null) "CAST(NULL AS VARCHAR)" else s"'$grp'"
@@ -29,6 +31,7 @@ object EntryQueries {
     s"""WITH px AS (
   SELECT gr, gc, ${Synth.valueSql()} AS v
   FROM range(0,128) t_r(gr), range(0,128) t_c(gc)
+  WHERE $pxFilter
 ),
 asg AS (
   $membership
@@ -64,7 +67,7 @@ g AS (
       col("stdev").as("stdev_v"))
   }
 
-  val zonalBasicSql: String = s"""$zonalPrologue
+  val zonalBasicSql: String = s"""${zonalPrologue()}
 SELECT groups.grp AS grp,
   COALESCE(g.cnt, 0) AS cnt,
   COALESCE(g.nd, 0) AS nodata_cnt,
@@ -91,7 +94,7 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
       round(col("p95"), 6).as("p95"))
   }
 
-  val zonalPercentileSql: String = s"""$zonalPrologue
+  val zonalPercentileSql: String = s"""${zonalPrologue()}
 SELECT groups.grp AS grp,
   COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
   round(q.q05, 6) AS p5,
@@ -146,7 +149,7 @@ LEFT JOIN (
         round(col("p50"), 6).as("p50"))
   }
 
-  val zonalTableSql: String = s"""$zonalPrologue
+  val zonalTableSql: String = s"""${zonalPrologue()}
 SELECT groups.grp AS grp,
   COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
   COALESCE(g.sv, 0.0) AS sum_v,
@@ -457,6 +460,123 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
   /** Incremental merge ≡ full recompute — same oracle. */
   val zonalIncrementalSql: String = zonalBasicSql
 
+  /** Row-level deletes under the oracle gate — the takedown path a
+    * training corpus runs routinely: v1 = the grid minus the last
+    * tile row, v2 = that row appended as a batch, v3 = deleteWhere
+    * removing the batch (its files drop WHOLE) plus tile row 3
+    * (tombstones inside surviving files). Yesterday's per-FID stats
+    * (v1) fold with the window's adds AND retractions
+    * ([[graft.operators.ZonalStats.retractFidStats]], min/max
+    * recompute where the retracted pixels could have been the
+    * extreme); the merge must equal a full recompute over the
+    * surviving rows — the DuckDB oracle recomputes those stats from
+    * the surviving pixel set directly. */
+  def zonalAfterDelete(spark: SparkSession): DataFrame = {
+    import graft.sources.TileTable
+    val grid = Synth.testGrid
+    val lastRow = grid.tilesY - 1
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val table = cachedFixtureTable("del") { root =>
+      val all = Synth.tiles(spark, grid)
+      TileTable.write(spark, all.where(tr < lit(lastRow)), grid,
+        Some(-9999.0), root, cellLevel = 8, numFiles = 2)
+      TileTable.appendBatch(spark, root,
+        all.where(tr === lit(lastRow)), batchId = 0L)
+      TileTable.deleteWhere(spark, root,
+        tr === lit(lastRow) || tr === lit(3))
+    }
+    val zones = Fixtures.zonesBasic(grid)
+    val head = table.version
+    require(head >= 3, s"expected create+append+delete, at v$head")
+    // the CDC contract: the window carries both adds and removals
+    val cs = TileTable.changedSets(table.root, 1, head)
+    require(cs.hasRemovals && cs.added.nonEmpty,
+      "expected an append AND a delete in the window")
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(table.root, 1).read(spark), zones, grid,
+      Some(-9999.0))
+    val res = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1)
+    res.select(
+      col("group").as("grp"),
+      col("count").as("cnt"),
+      col("nodata_count").as("nodata_cnt"),
+      col("valid_count").as("valid_cnt"),
+      col("sum").as("sum_v"),
+      col("min").as("min_v"),
+      col("max").as("max_v"),
+      when(col("valid_count") > 0, col("sum") / col("valid_count"))
+        .as("mean_v"),
+      col("stdev").as("stdev_v"))
+  }
+
+  /** Schema evolution under the oracle gate: v1 = the north half
+    * written BEFORE the columns existed, then addColumn(quality,
+    * default 0.5) + addColumn(source, no default), then the south
+    * half appended carrying both (quality alternating by tile row,
+    * NULL on the last row — which the declared default fills). One
+    * scan spans both file generations; the oracle recomputes the
+    * group counts from the same deterministic rules. */
+  def schemaEvolution(spark: SparkSession): DataFrame = {
+    import graft.sources.TileTable
+    val grid = Synth.testGrid
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val table = cachedFixtureTable("evo") { root =>
+      val all = Synth.tiles(spark, grid)
+      TileTable.write(spark, all.where(tr < lit(grid.tilesY / 2)), grid,
+        Some(-9999.0), root, cellLevel = 8, numFiles = 2)
+      TileTable.addColumn(root, "quality", "double", Some("0.5"))
+      TileTable.addColumn(root, "source", "string")
+      val batch = all.where(tr >= lit(grid.tilesY / 2))
+        .withColumn("quality",
+          when(tr === lit(grid.tilesY - 1), lit(null).cast("double"))
+            .otherwise(lit(0.25) + (tr % 2).cast("double") / 4))
+        .withColumn("source", lit("web"))
+      TileTable.appendBatch(spark, root, batch, batchId = 0L)
+    }
+    table.read(spark)
+      .groupBy(col("quality").as("quality"), col("source").as("src"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("sum_h"))
+      .select("quality", "src", "n", "sum_h")
+  }
+
+  /** Tile rows 0..3 predate the columns (quality→0.5 default, src
+    * NULL); rows 4..7 carry quality 0.25+((tr%2)/4) except row 7's
+    * NULL → default. tileH=16 ⇒ sum_h = 16·n. */
+  val schemaEvolutionSql: String = s"""
+WITH tiles AS (
+  SELECT tr, tc,
+    CASE WHEN tr < 4 THEN CAST(0.5 AS DOUBLE)
+         WHEN tr = 7 THEN CAST(0.5 AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE) + CAST(tr % 2 AS DOUBLE) / 4
+         END AS quality,
+    CASE WHEN tr < 4 THEN NULL ELSE 'web' END AS src
+  FROM range(0,8) a(tr), range(0,8) b(tc))
+SELECT quality, src, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(16) AS BIGINT) AS sum_h
+FROM tiles GROUP BY quality, src"""
+
+  /** Surviving pixel set: everything except tile rows 3 and 7
+    * (16-px-tall tile rows → gr bands [48,64) and [112,128)). */
+  val zonalAfterDeleteSql: String =
+    s"""${zonalPrologue(
+      "gr < 112 AND NOT (gr BETWEEN 48 AND 63)")}
+SELECT groups.grp AS grp,
+  COALESCE(g.cnt, 0) AS cnt,
+  COALESCE(g.nd, 0) AS nodata_cnt,
+  COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
+  COALESCE(g.sv, 0.0) AS sum_v,
+  g.mnv AS min_v,
+  g.mxv AS max_v,
+  CASE WHEN g.cnt - g.nd > 0 THEN g.sv / (g.cnt - g.nd) END AS mean_v,
+  CASE WHEN g.cnt - g.nd > 0 THEN
+    sqrt(greatest(g.svv / (g.cnt - g.nd)
+      - (g.sv / (g.cnt - g.nd)) * (g.sv / (g.cnt - g.nd)), 0.0))
+  END AS stdev_v
+FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
+
   /** Histogram bounds for the approx-percentile query: value range
     * [0, 97) and a power-of-two bin count so binWidth 97/32 = 3.03125
     * is an exact dyadic — every midpoint computes bit-identically in
@@ -521,7 +641,7 @@ FROM groups LEFT JOIN g ON groups.grp IS NOT DISTINCT FROM g.grp"""
           .as("p75_in_bounds"))
   }
 
-  val zonalGkPercentileSql: String = s"""$zonalPrologue
+  val zonalGkPercentileSql: String = s"""${zonalPrologue()}
 SELECT groups.grp AS grp,
   COALESCE(g.cnt - g.nd, 0) AS valid_cnt,
   round(q.q24, 6) AS lo25, round(q.q26, 6) AS hi25,
@@ -543,7 +663,7 @@ LEFT JOIN (
     def pctExpr(p: Int, name: String) =
       s"""min(CASE WHEN cum >= greatest(1.0, ceil($p.0 * n / 100.0))
       THEN $HistLo + (bin + 0.5) * $w END) AS $name"""
-    s"""$zonalPrologue,
+    s"""${zonalPrologue()},
 hb AS (
   SELECT grp,
     LEAST(${HistBins - 1}, GREATEST(0,

@@ -37,18 +37,56 @@ object ZonalJob {
     // include a literal 1, so the manifest's first declared band is
     // the one consumed, with that band's nodata.
     val band = table.manifest.bands.headOption.map(_.band)
-    val df = ckptDir match {
+    // Daily-append growth path: when a previous run of THIS job over
+    // THIS raster left a per-FID stats sidecar (at some version v0 ≤
+    // the current head) and the job needs no percentiles (retraction
+    // and folding are algebraic; quantiles are not), fold only the
+    // CDC window v0→head into the saved stats instead of rescanning
+    // the raster. Falls back to the full path loudly when the window
+    // has aged out of vacuum retention or crossed an untagged rewrite.
+    val sidecar = ckptDir.map(d => s"$d/fidstats.json")
+    val incremental: Option[org.apache.spark.sql.DataFrame] =
+      if (percentiles.nonEmpty) None
+      else sidecar.flatMap(sc =>
+        Checkpoints.readFidStatsSidecar(spark, sc).flatMap {
+          case (prev, v0) =>
+            try {
+              val cs = graft.sources.TileTable
+                .changedSets(table.root, v0, table.version)
+              val res = ZonalEngine.runIncremental(spark, table, zones,
+                prev, fromVersion = v0, lastWins = true, band = band,
+                mergedStatsSink = Some(m => Checkpoints
+                  .writeFidStatsSidecar(sc, m, table.version)))
+              // job-observable lineage: what the increment scanned
+              ckptDir.foreach(d => writeIncrMarker(d, v0, table.version,
+                cs.added.size, cs.removals.size))
+              Some(res)
+            } catch {
+              case e @ (_: IllegalStateException
+                        | _: IllegalArgumentException
+                        | _: java.nio.file.NoSuchFileException) =>
+                System.err.println(s"[graft] ZonalJob: incremental " +
+                  s"window $v0→${table.version} of ${table.root} not " +
+                  s"foldable (${e.getMessage}); recomputing in full")
+                None
+            }
+        })
+    val df = incremental.getOrElse(ckptDir match {
       case Some(dir) =>
         Checkpoints.resumableZonalStats(spark, table, zones, dir,
           runId = s"job-${System.nanoTime()}", percentiles = percentiles,
-          lastWins = true, band = band)
+          lastWins = true, band = band,
+          fidStatsSink =
+            if (percentiles.nonEmpty) None
+            else sidecar.map(sc => (m: org.apache.spark.sql.DataFrame) =>
+              Checkpoints.writeFidStatsSidecar(sc, m, table.version)))
       case None =>
         ZonalEngine.run(spark,
           table.readPruned(spark, Zone.totalEnvelope(zones), band),
           zones, table.grid, table.nodataFor(band),
           percentiles, lastWins = true,
           fallbackTiles = Some(env => table.readPruned(spark, env, band)))
-    }
+    })
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))
     df.collect().map { r =>
@@ -58,6 +96,36 @@ object ZonalJob {
       }.toMap
       g -> m
     }.toMap
+  }
+
+  /** Record that a raster ran INCREMENTALLY and what its window
+    * contained — the job-level lineage a test (or an operator asking
+    * "did the daily run really only scan the delta?") checks. */
+  private def writeIncrMarker(ckptDir: String, fromV: Int, toV: Int,
+      addedFiles: Int, removalSteps: Int): Unit = {
+    val p = Paths.get(ckptDir, "incr-applied.json")
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(ckptDir, ".incr-applied.json.tmp")
+    Files.writeString(tmp,
+      s"""{"fromVersion":$fromV,"toVersion":$toV,""" +
+        s""""addedFiles":$addedFiles,"removalSteps":$removalSteps}""")
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parsed [[writeIncrMarker]] payload, None if the last run of the
+    * raster was not incremental. */
+  def incrMarker(ckptDir: String): Option[(Int, Int, Int, Int)] = {
+    val p = Paths.get(ckptDir, "incr-applied.json")
+    if (!Files.exists(p)) None
+    else {
+      val t = Files.readString(p)
+      def i(k: String) = s""""$k":(-?\\d+)""".r
+        .findFirstMatchIn(t).get.group(1).toInt
+      Some((i("fromVersion"), i("toVersion"), i("addedFiles"),
+        i("removalSteps")))
+    }
   }
 
   /** Per-(job, raster) checkpoint dir, keyed by raster stem + a hash

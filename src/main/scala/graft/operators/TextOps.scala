@@ -228,10 +228,28 @@ object TextOps {
 
   val MinHashP = 2147483647L // 2^31 - 1
 
-  /** md5-derived 60-bit token hash (first 15 hex digits), reduced
-    * mod p. `conv` keeps this replicable in any SQL engine. */
-  def tokenHash(tok: Column): Column =
-    (conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinHashP)
+  /** md5-derived 60-bit token hash (first 15 hex digits). `conv`
+    * keeps this replicable in any SQL engine. */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** [[tokenHash60]] reduced mod p — the MinHash permutation input. */
+  def tokenHash(tok: Column): Column = tokenHash60(tok) % MinHashP
+
+  /** A document's distinct-token SET as 60-bit hashes (`array<long>`)
+    * — the representation every exact-Jaccard verify join carries and
+    * persists. Dictionary-encoding the tokens before materialization
+    * cuts the verify working set severalfold versus `array<string>`
+    * (token strings dominated the 16 GB q_minhash_lsh heap peak at
+    * sf0.1): 8 fixed bytes per element, no string payloads in the
+    * persisted/broadcast maps. Jaccard over the hash sets equals
+    * Jaccard over the token sets unless two distinct tokens inside
+    * one compared pair collide in 60 bits (birthday bound ≈ k²/2⁶¹
+    * for k tokens per doc — vanishing for any real document, and
+    * deterministic: both sides of an equality oracle see the same
+    * sets). */
+  def tokenHashSet(text: Column): Column =
+    array_distinct(transform(tokens(text), t => tokenHash60(t)))
 
   def minhashA(k: Int): Long = 1103L + 29L * k
   def minhashB(k: Int): Long = 12345L + 7L * k
@@ -383,15 +401,15 @@ object TextOps {
     // the upstream join and both verify joins fall back to sorting +
     // shuffling the full candidate set — measured 10× slower)
     val tokSets = repDocs.select(col("id"),
-      array_distinct(tokens(col("text"))).as("toks")).persist()
+      TextOps.tokenHashSet(col("text")).as("toks")).persist()
     graft.engine.Caches.register(spark,
       () => { tokSets.unpersist(false); () })
     verifyJaccard(cand, tokSets, minJaccard)
   }
 
   /** Exact token-set Jaccard verification of candidate pairs: two
-    * equi-joins on id against the per-doc distinct-token arrays and
-    * one `array_intersect` per pair (the single source of the jaccard
+    * equi-joins on id against the per-doc distinct-token hash sets
+    * ([[tokenHashSet]]) and one `array_intersect` per pair (the single source of the jaccard
     * formula — shared by the batch and incremental dedup paths). */
   private def verifyJaccard(cand: DataFrame, tokSets: DataFrame,
       minJaccard: Double): DataFrame =
@@ -493,7 +511,8 @@ object TextOps {
     * @param members  (id, ckey, rid) — every corpus doc's exact-content
     *   group (key + min-id representative)
     * @param repToks  (id, toks) — each representative's distinct-token
-    *   array, for exact Jaccard verification
+    *   hash set ([[TextOps.tokenHashSet]], array<long>), for exact
+    *   Jaccard verification at 1/severalth the string-array footprint
     * @param repBands (id, band_key) — each representative's LSH band
     *   keys, the join target for new batches */
   final case class MinhashIndex(members: DataFrame, repToks: DataFrame,
@@ -551,7 +570,7 @@ object TextOps {
     val members = reg(contentGroups(df, idCol, textCol))
     val reps = repDocsOf(df, idCol, textCol, members)
     val repToks = reg(reps.select(col("id"),
-      array_distinct(tokens(col("text"))).as("toks")))
+      TextOps.tokenHashSet(col("text")).as("toks")))
     val repBands = reg(bandKeys(
       minhashSignature(tokenHashes(reps, "id", "text"), numHashes),
       numBands, numHashes / numBands)
@@ -603,7 +622,7 @@ object TextOps {
       members = index.members.unionByName(
         newMembers.select(col("id"), col("ckey"), col("rid"))),
       repToks = index.repToks.unionByName(freshDocs.select(col("id"),
-        array_distinct(tokens(col("text"))).as("toks"))),
+        TextOps.tokenHashSet(col("text")).as("toks"))),
       repBands = index.repBands.unionByName(freshBands))
   }
 
@@ -658,7 +677,7 @@ object TextOps {
         greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
     val allToks = reg(index.repToks.unionByName(freshDocs.select(
-      col("id"), array_distinct(tokens(col("text"))).as("toks"))))
+      col("id"), TextOps.tokenHashSet(col("text")).as("toks"))))
     val verified = verifyJaccard(cand, allToks, minJaccard)
       .select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
         col("jaccard"))

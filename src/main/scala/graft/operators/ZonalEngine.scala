@@ -114,26 +114,45 @@ object ZonalEngine {
     * cannot reconstruct — deliberately not offered here; run the
     * sketch path over the full table when quantiles are required.
     *
+    * `lastWins` is safe to fold additively: last-burn-wins changes
+    * which ZONE a pixel is assigned to, but that assignment is a
+    * pure function of (pixel, the full zone list) — rasterization
+    * runs per tile against all zones, so appending tiles never
+    * changes the assignment of pixels in tiles already folded, and
+    * the per-tile partials stay independent (proven ≡ full recompute
+    * in TileTableChangesSpec). The one shared caveat: two tiles at
+    * the SAME cell both contribute their pixels — in the incremental
+    * fold AND in a full recompute alike (per-tile processing) — so
+    * duplicate-cell ingest is an upstream dedup concern, not a
+    * divergence between the two paths.
+    *
     * The unset-FID envelope fallback still consults the WHOLE table
     * (manifest-pruned to the unset slivers): a zone too thin to own a
     * pixel stays correct however many increments have run. */
+  /** @param mergedStatsSink when set, receives the merged per-FID
+    *   stats (the [[fidStatsFor]] shape at the head version) after
+    *   materialization — callers that run incrementally every day
+    *   persist them as the NEXT increment's `prevFidStats`
+    *   (`ZonalJob`'s sidecar). */
   def runIncremental(spark: SparkSession, table: graft.sources.TileTable,
       zonesRaw: Seq[Zone], prevFidStats: DataFrame, fromVersion: Int,
       lastWins: Boolean = false,
-      band: Option[Int] = None): DataFrame = {
+      band: Option[Int] = None,
+      mergedStatsSink: Option[DataFrame => Unit] = None): DataFrame = {
     require(table.manifest.bands.isEmpty || band.isDefined,
       s"${table.root} is multi-band: pass the band to address")
     // the window's upper end is the SNAPSHOT's version, not the live
     // head: a concurrent append must not leak rows into a merge whose
     // fallback scan and saved stats describe this snapshot
     val head = table.version
-    val deltaAll = graft.sources.TileTable.readChanges(spark, table.root,
-      fromVersion, head)
-    val delta = band match {
-      case Some(b) => deltaAll.where(org.apache.spark.sql.functions
+    val bandFilter: DataFrame => DataFrame = df => band match {
+      case Some(b) => df.where(org.apache.spark.sql.functions
         .col("band") === b)
-      case None => deltaAll
+      case None => df
     }
+    val (addedAll, removedOpt) = graft.sources.TileTable
+      .readChangesWithRemovals(spark, table.root, fromVersion, head)
+    val delta = bandFilter(addedAll)
     val nodata = table.nodataFor(band)
     val grid = table.grid
     val zones = zonesRaw.map(z => z.copy(geom =
@@ -143,10 +162,49 @@ object ZonalEngine {
       .toDF("fid", "group")
     val deltaStats = fidStatsFor(spark, delta, zonesRaw, grid, nodata,
       simplify = true, lastWins = lastWins)
-    val merged = ZonalStats.mergeFidStats(prevFidStats, deltaStats)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val folded = ZonalStats.mergeFidStats(prevFidStats, deltaStats)
+    // row-level deletes in the window retract: exact subtraction for
+    // counts/sums; fids whose extreme might have been the retracted
+    // value recompute whole from the live (pruned) table — the
+    // recompute set is the zones the takedown actually grazed
+    val (afterRemovals, preRelease: (() => Unit)) = removedOpt match {
+      case None => (folded, () => ())
+      case Some(removedAll) =>
+        val removedStats = fidStatsFor(spark, bandFilter(removedAll),
+          zonesRaw, grid, nodata, simplify = true, lastWins = lastWins)
+        val rt = ZonalStats.retractFidStats(folded, removedStats)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rt.count()
+        val unsafeFids = rt
+          .where(org.apache.spark.sql.functions
+            .col("needs_minmax_recompute"))
+          .select("fid").collect().map(_.getLong(0)).toSet
+        val safe = rt.where(!org.apache.spark.sql.functions
+          .col("needs_minmax_recompute"))
+          .drop("needs_minmax_recompute")
+        val out =
+          if (unsafeFids.isEmpty) safe
+          else {
+            val env = new org.locationtech.jts.geom.Envelope()
+            zones.filter(z => unsafeFids.contains(z.fid))
+              .foreach(z =>
+                env.expandToInclude(z.geom.getEnvelopeInternal))
+            // ALL zones go to the kernel (lastWins burn order must see
+            // every zone); only the unsafe fids' rows are kept
+            val rec = fidStatsFor(spark,
+              table.readPruned(spark, env, band), zonesRaw, grid,
+              nodata, simplify = true, lastWins = lastWins)
+              .where(org.apache.spark.sql.functions.col("fid")
+                .isInCollection(unsafeFids))
+            safe.unionByName(rec)
+          }
+        (out, () => { rt.unpersist(false); () })
+    }
+    val merged = afterRemovals.persist(StorageLevel.MEMORY_AND_DISK)
     val releases = Seq(() => { merged.unpersist(false); () })
     merged.count()
+    preRelease()
+    mergedStatsSink.foreach(_(merged))
     finishStats(spark, merged, None, zones, zonesDf, grid, nodata,
       percentiles = Nil, exactPercentiles = true,
       tilesFor = e => table.readPruned(spark, e, band),

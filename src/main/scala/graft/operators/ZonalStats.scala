@@ -311,6 +311,49 @@ object ZonalStats {
   def mergeFidStats(a: DataFrame, b: DataFrame): DataFrame =
     fidStats(a.unionByName(b))
 
+  /** Inverse fold of [[mergeFidStats]] — retract `removed` (the
+    * [[fidStats]] of deleted rows) from `cur`. Counts and sums
+    * subtract exactly (bit-exact for integer-valued pixels — the
+    * fixture convention; within float error otherwise). Min/max are
+    * NOT invertible: a retracted value that ties or beats the current
+    * extreme could have been its unique witness, so such fids come
+    * back FLAGGED (`needs_minmax_recompute`) for the caller to
+    * recompute from the live table ([[graft.operators.ZonalEngine
+    * .runIncremental]] does, via a pruned scan); a retracted value
+    * strictly inside the (min, max) interval provably cannot move
+    * either bound and stays unflagged. Fids whose pixel count reaches
+    * zero DROP from the frame entirely — matching the shape a full
+    * recompute produces (the zero-fill happens downstream). */
+  def retractFidStats(cur: DataFrame, removed: DataFrame): DataFrame = {
+    val r = removed.select(col("fid"),
+      col("cnt").as("r_cnt"), col("nodata").as("r_nodata"),
+      col("mn").as("r_mn"), col("mx").as("r_mx"),
+      col("sum").as("r_sum"), col("sumsq").as("r_sumsq"))
+    val j = cur.join(r, Seq("fid"), "left")
+    val rc = coalesce(col("r_cnt"), lit(0L))
+    val rnd = coalesce(col("r_nodata"), lit(0L))
+    val rValid = rc - rnd
+    val cnt2 = col("cnt") - rc
+    val nd2 = col("nodata") - rnd
+    val valid2 = cnt2 - nd2
+    val unsafe = (rValid > 0) && (valid2 > 0) &&
+      (col("r_mn") <= col("mn") || col("r_mx") >= col("mx"))
+    j.select(col("fid"),
+      cnt2.as("cnt"), nd2.as("nodata"),
+      when(valid2 === 0, lit(Double.PositiveInfinity))
+        .otherwise(col("mn")).as("mn"),
+      when(valid2 === 0, lit(Double.NegativeInfinity))
+        .otherwise(col("mx")).as("mx"),
+      when(valid2 === 0, lit(0.0))
+        .otherwise(col("sum") - coalesce(col("r_sum"), lit(0.0)))
+        .as("sum"),
+      when(valid2 === 0, lit(0.0))
+        .otherwise(col("sumsq") - coalesce(col("r_sumsq"), lit(0.0)))
+        .as("sumsq"),
+      coalesce(unsafe, lit(false)).as("needs_minmax_recompute"))
+      .where(col("cnt") > 0)
+  }
+
   /** FID→group rollup + finalize (`runner.py:848-917`):
     * sums/counts add unconditionally; min/max merge only from fids
     * with valid_count > 0; population stdev from sum/sumsq with

@@ -25,10 +25,10 @@ import scala.jdk.CollectionConverters._
   * A real object-store backend implements this trait with the store's
   * conditional write and registers itself via
   * [[ManifestStore.register]] for its root; the DATA plane (Parquet
-  * tile files) already flows through Spark's Hadoop filesystem and
-  * needs no port. The one remaining local-FS dependency outside this
-  * trait is `TileTable.vacuum`'s DATA-directory walk (see its
-  * scaladoc).
+  * tile files, vacuum/compact's directory walk and GC) flows entirely
+  * through the root's Hadoop filesystem and needs no port — nothing
+  * in the table lifecycle touches java.nio outside this trait's
+  * local implementation.
   */
 trait ManifestStore {
   /** Atomic conditional put — create `rel` with `bytes` only if it

@@ -44,6 +44,47 @@ import scala.jdk.CollectionConverters._
 final case class TileFileStat(path: String, cellMin: Long, cellMax: Long,
     rows: Long)
 
+/** Reference to one equality-delete (tombstone) file — the row-level
+  * delete vehicle (the Iceberg equality-delete shape). The parquet at
+  * `path` (relative to the table root) holds one row per deleted data
+  * row: (`file` = manifest-relative data-file path, `image_id`, and
+  * `band` on multi-band tables). Binding tombstones to the FILE they
+  * delete from scopes them in time for free: data files are
+  * immutable, so a later re-append of the same `image_id` lands in a
+  * NEW file and is untouched — no sequence-number bookkeeping needed.
+  * `nKeys` is diagnostic (delete-volume accounting). Tombstones
+  * accumulate until [[TileTable.compact]] folds them into a clean
+  * rewrite and clears the list. */
+final case class DeleteFileRef(path: String, nKeys: Long)
+
+/** One schema-evolution step: a column appended to the table schema
+  * after some files were already written. `dtype` is a Spark DDL type
+  * ("double", "string", …); `default` is a SQL literal expression
+  * applied at scan wherever the stored value is missing — every file
+  * written before the column existed, and null cells thereafter (add
+  * a NULLABLE column with NO default to keep explicit nulls). */
+final case class AddedColumn(name: String, dtype: String,
+    default: Option[String])
+
+/** One delete step's removal payload in a CDC window: data files
+  * dropped whole (every live row matched), tombstone files added for
+  * partial deletes, and the tombstones that were ALREADY in effect
+  * before the step (needed to reconstruct which of a dropped file's
+  * physical rows were still live when it was dropped). */
+final case class RemovalStep(droppedFiles: Seq[String],
+    newTombstones: Seq[DeleteFileRef],
+    priorDeletes: Seq[DeleteFileRef])
+
+/** Delete-aware CDC window: files APPENDED plus, per delete step,
+  * what was removed. A row appended and deleted inside the same
+  * window appears on both sides (net zero under an add/retract
+  * fold). */
+final case class TileChanges(added: Seq[TileFileStat],
+    removals: Seq[RemovalStep]) {
+  def hasRemovals: Boolean = removals.exists(s =>
+    s.droppedFiles.nonEmpty || s.newTombstones.nonEmpty)
+}
+
 /** Per-band metadata — the reference addresses rasters as
   * `(path, band)` with per-band nodata (`runner.py:264-265,295-296`). */
 final case class BandInfo(band: Int, nodata: Option[Double])
@@ -74,7 +115,10 @@ final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
     cellLevel: Int, files: Seq[TileFileStat],
     srs: Option[String] = None,
     bands: Seq[BandInfo] = Nil,
-    writerBatches: Map[String, Seq[Long]] = Map.empty) {
+    writerBatches: Map[String, Seq[Long]] = Map.empty,
+    deletes: Seq[DeleteFileRef] = Nil,
+    schemaDdl: Option[String] = None,
+    addedColumns: Seq[AddedColumn] = Nil) {
 
   /** The default writer's committed batch ids (single-stream tables). */
   def committedBatches: Seq[Long] =
@@ -88,9 +132,74 @@ final case class TileManifest(grid: RasterGrid, nodata: Option[Double],
 class TileTable(val root: String, val manifest: TileManifest,
     val version: Int) {
 
-  /** Full scan (all data files). */
+  /** Full scan (all data files), row-level deletes applied and
+    * evolved-schema defaults filled. */
   def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(manifest.files.map(f => s"$root/${f.path}"): _*)
+    withDeletes(spark, scanRaw(spark, manifest.files.map(_.path)))
+
+  /** Scan of the given manifest-relative data files with the TABLE's
+    * schema (not per-file footers): files written before a schema
+    * evolution project the added columns as null and the declared
+    * defaults fill them — the Iceberg add-column-with-default read.
+    * The explicit schema also skips footer inference entirely, which
+    * at 10⁶ files is the difference between a driver-side metadata
+    * pass and none. Tombstones NOT applied (callers pick the layer
+    * they need). Legacy manifests without a recorded schema read
+    * as plain parquet. */
+  private[graft] def scanRaw(spark: SparkSession,
+      relPaths: Seq[String]): DataFrame = {
+    val paths = relPaths.map(p => s"$root/$p")
+    val base = manifest.schemaDdl match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    manifest.addedColumns.foldLeft(base) { (df, c) =>
+      c.default match {
+        case Some(d) => df.withColumn(c.name,
+          coalesce(col(c.name), expr(d).cast(c.dtype)))
+        case None => df
+      }
+    }
+  }
+
+  /** The table's equality-delete keys as one frame (None when the
+    * table has no row-level deletes — the common case pays nothing).
+    * Delete sets are takedown-list sized, so they broadcast. */
+  private def deletesFrame(spark: SparkSession): Option[DataFrame] =
+    if (manifest.deletes.isEmpty) None
+    else Some(spark.read.parquet(
+      manifest.deletes.map(d => s"$root/${d.path}"): _*))
+
+  /** Anti-join the manifest's tombstones out of a scan. Zero-cost
+    * when no deletes exist; otherwise one broadcast anti-join above
+    * the (still pushed-down/pruned) parquet scan. */
+  private def withDeletes(spark: SparkSession, df: DataFrame): DataFrame =
+    deletesFrame(spark) match {
+      case None => df
+      case Some(t) => TileTable.applyTombstones(df, t, "left_anti")
+    }
+
+  /** Apply this snapshot's row-level deletes to a RAW scan of (a
+    * subset of) its data files — for callers that manage their own
+    * file-group scans (chunked/resumable execution). No-op when the
+    * table has no deletes. */
+  def applyDeletes(spark: SparkSession, df: DataFrame): DataFrame =
+    withDeletes(spark, df)
+
+  /** Full live scan CARRYING the manifest-relative file path as
+    * `_gf` — [[TileTable.deleteWhere]]'s working view (the file path
+    * must be derived on the raw relation, before any tombstone join,
+    * or `_metadata` turns ambiguous). */
+  private[sources] def readWithFile(spark: SparkSession): DataFrame = {
+    val raw = scanRaw(spark, manifest.files.map(_.path))
+      .withColumn("_gf", TileTable.relFileCol)
+    deletesFrame(spark) match {
+      case None => raw
+      case Some(t) => TileTable.applyTombstones(raw, t, "left_anti")
+    }
+  }
 
   /** Manifest-pruned scan: only files whose cell range intersects the
     * Morton cover of `env`, with the cell-range predicate pushed into
@@ -104,11 +213,11 @@ class TileTable(val root: String, val manifest: TileManifest,
   def readPruned(spark: SparkSession, env: Envelope): DataFrame = {
     val (files, ranges) = prunedFilesWithRanges(env)
     if (files.isEmpty) return read(spark).limit(0)
-    val df = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val df = scanRaw(spark, files.map(_.path))
     val pred = ranges.map { case (lo, hi) =>
       col("cell").between(lo, hi)
     }.reduce(_ || _)
-    df.where(pred)
+    withDeletes(spark, df.where(pred))
   }
 
   /** Manifest files whose cell range intersects the Morton cover of
@@ -189,6 +298,44 @@ object TileTable {
   private def store(root: String): ManifestStore =
     ManifestStore.forRoot(root)
 
+  // DATA-plane accessor: Parquet tile files are written and read
+  // through Spark's Hadoop filesystem, so vacuum/compact walk and GC
+  // directories through the SAME API — an object-store root works
+  // wherever its Hadoop connector does, with zero java.nio/POSIX
+  // assumptions left in the lifecycle path. Prefer the session's conf
+  // (it carries spark.hadoop.* credentials); the bare-Configuration
+  // fallback is cached because constructing one re-parses the default
+  // XMLs (tens of ms).
+  private lazy val fallbackHadoopConf =
+    new org.apache.hadoop.conf.Configuration()
+  private def dataFs(root: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(fallbackHadoopConf)
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Directory entries (name, mtimeMs) directly under `root/sub`
+    * ("" = the root) on the data plane; empty when absent. */
+  private def listDataPlaneDirs(root: String,
+      sub: String): Seq[(String, Long)] = {
+    val (fs, rp) = dataFs(root)
+    val p = if (sub.isEmpty) rp else new org.apache.hadoop.fs.Path(rp, sub)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getModificationTime))
+  }
+
+  /** Recursive data-plane delete of `root/rel`. */
+  private def deleteDataPlaneDir(root: String, rel: String): Unit = {
+    val (fs, rp) = dataFs(root)
+    fs.delete(new org.apache.hadoop.fs.Path(rp, rel), true)
+    ()
+  }
+
   /** Prune index over a manifest's file entries: cell bounds copied
     * into primitive arrays ONCE per opened table (traversing 10^6
     * entry objects costs tens of ms in cache misses — that belongs in
@@ -266,9 +413,12 @@ object TileTable {
         "compact, or choose a fresh root")
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.min(64, (grid.numTiles / 256).toInt))
-    val stats = writeDataFiles(spark,
-      withCellColumn(tiles, grid, cellLevel), root, "data", n, bands)
-    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands)
+    val withCell = withCellColumn(tiles, grid, cellLevel)
+    val stats = writeDataFiles(spark, withCell, root, "data", n, bands)
+    // the table schema is versioned in the manifest from creation on —
+    // the anchor schema evolution (addColumn) extends
+    val man = TileManifest(grid, nodata, cellLevel, stats, srs, bands,
+      schemaDdl = Some(withCell.schema.toDDL))
     writeManifest(root, man)
     new TileTable(root, man, 1)
   }
@@ -657,6 +807,77 @@ object TileTable {
     }
   }
 
+  /** Row-level delete: remove every LIVE row matching `cond` (a
+    * takedown list, a quality re-filter) without rewriting the table.
+    * Files whose live rows ALL match are dropped from the manifest
+    * whole (their bytes stay on disk for CDC retraction / time travel
+    * until [[vacuum]] retention expires); partially-matching files
+    * get an equality-delete tombstone file (see [[DeleteFileRef]])
+    * that every read anti-joins out. The commit is tagged
+    * [[OpDelete]] so delete-aware CDC ([[changedSets]],
+    * [[readChangesWithRemovals]]) can fold the removals; tombstones
+    * accumulate until the next [[compact]] folds them into a clean
+    * rewrite.
+    *
+    * Scale shape: one column-pruned scan of the table to classify
+    * rows (the predicate is pushed down; bytes are never read unless
+    * `cond` references them), one takedown-sized tombstone write,
+    * one O(batch) manifest commit. Driver state is O(files).
+    * Snapshot semantics: rows appended concurrently with the delete
+    * are NOT matched (the lock serializes mutators anyway). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): TileTable =
+    withTableLock(root) {
+      val t = open(root)
+      if (t.manifest.files.isEmpty) t
+      else {
+        val live = t.readWithFile(spark)
+        val multiBand = t.manifest.bands.nonEmpty
+        // one pass: per-file live row count + matching row count
+        val perFile = live.groupBy(col("_gf"))
+          .agg(count(lit(1)).as("live"),
+            count(when(cond, lit(1))).as("hit"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val dropped = perFile.collect {
+          case (p, lv, hit) if lv > 0 && hit == lv => p
+        }.toSet
+        val anyHits = perFile.exists(_._3 > 0)
+        if (!anyHits) t // nothing matched: no commit
+        else {
+          val partialHits = perFile.exists { case (p, _, hit) =>
+            hit > 0 && !dropped.contains(p)
+          }
+          val ref =
+            if (!partialHits) None
+            else {
+              val keyCols = Seq(col("_gf").as("file"), col("image_id")) ++
+                (if (multiBand) Seq(col("band")) else Nil)
+              val keys = live.where(cond)
+                .where(!col("_gf").isInCollection(dropped))
+                .select(keyCols: _*).distinct()
+              val rel = s"del/tombstone-" +
+                java.util.UUID.randomUUID().toString.take(12)
+              keys.coalesce(1).write.mode("overwrite")
+                .parquet(s"$root/$rel")
+              val n = spark.read.parquet(s"$root/$rel").count()
+              Some(DeleteFileRef(rel, n))
+            }
+          mutateManifest(root, op = OpDelete) { m =>
+            // the lock serializes mutators, so the files we classified
+            // are still the manifest's — verify rather than trust
+            val present = m.files.map(_.path).toSet
+            require(dropped.subsetOf(present),
+              s"delete lost a race on $root: classified files are no " +
+                "longer in the manifest (stolen lock?) — rerun")
+            Some(m.copy(
+              files = m.files.filterNot(f => dropped.contains(f.path)),
+              deletes = m.deletes ++ ref))
+          }
+        }
+      }
+    }
+
   /** Compact a table's data layout into `numFiles` cell-sorted files —
     * the Iceberg-style maintenance pass for the small-files problem
     * (incremental/streaming ingest fragments the layout; compaction
@@ -687,17 +908,20 @@ object TileTable {
         case d => d.stripPrefix("data-").toIntOption.getOrElse(0)
       }
       val newDir = s"data-${(0 +: genNums).max + 1}"
+      // t.read applies tombstones, so the rewrite is delete-free and
+      // the commit clears the delete list (Iceberg's rewrite-with-
+      // delete-fold maintenance shape)
       val stats = writeDataFiles(spark, t.read(spark), root, newDir,
         numFiles, t.manifest.bands)
       val out = mutateManifest(root, op = OpReplace)(m =>
-        compactMerge(m, rewrittenSet, stats))
+        compactMerge(m, rewrittenSet, stats, t.manifest.deletes))
       val committed = out.manifest.files.map(_.path).toSet
         .exists(p => stats.exists(_.path == p))
       if (!keepOld && committed) {
         val stillReferenced = out.manifest.files
           .map(f => parentDir(f.path)).toSet
         oldDirs.filterNot(stillReferenced.contains).foreach(d =>
-          graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+          deleteDataPlaneDir(root, d))
       }
       out
     }
@@ -714,23 +938,25 @@ object TileTable {
     * whatever the lock does. */
   private[sources] def compactMerge(m: TileManifest,
       rewrittenSet: Set[String],
-      stats: Seq[TileFileStat]): Option[TileManifest] = {
+      stats: Seq[TileFileStat],
+      deletesAtRead: Seq[DeleteFileRef] = Nil): Option[TileManifest] = {
     val present = m.files.map(_.path).toSet
-    if (!rewrittenSet.subsetOf(present)) None
+    // also abort if the delete list changed since the rewrite read:
+    // the rewrite folded deletesAtRead into its output, and clearing
+    // a LATER tombstone with it would resurrect those rows
+    if (!rewrittenSet.subsetOf(present) ||
+      m.deletes.map(_.path) != deletesAtRead.map(_.path)) None
     else {
       val added = m.files.filterNot(f => rewrittenSet.contains(f.path))
-      Some(m.copy(files = (stats ++ added).sortBy(_.cellMin)))
+      Some(m.copy(files = (stats ++ added).sortBy(_.cellMin),
+        deletes = Nil))
     }
   }
 
   /** Generation (`data*`) and append dirs present under root. */
-  private def listDataDirs(root: String): Seq[String] = {
-    val s = Files.list(Paths.get(root))
-    try s.iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(d => d == "data" || d.startsWith("data-")).toSeq
-    finally s.close()
-  }
+  private def listDataDirs(root: String): Seq[String] =
+    listDataPlaneDirs(root, "").map(_._1)
+      .filter(d => d == "data" || d.startsWith("data-"))
 
   /** Commit operation kinds stamped into each manifest head — the
     * Iceberg snapshot-operation tag [[changedFiles]] needs to tell an
@@ -740,11 +966,78 @@ object TileTable {
   val OpAppend = "append"
   val OpReplace = "replace"
   val OpCreate = "create"
+  val OpDelete = "delete"
+  val OpEvolve = "evolve"
+
+  /** Schema evolution: append a column to the table schema. A
+    * metadata-only commit (tagged [[OpEvolve]], no data movement):
+    * every file already written projects the column as missing and
+    * the `default` literal fills it at scan ([[TileTable.scanRaw]]);
+    * files appended afterwards carry whatever the writer provides.
+    * At a 10⁶-file table this is one O(KB) manifest commit versus an
+    * Iceberg-less full rewrite. Columns can only be ADDED — renames
+    * and drops would invalidate readers of retained snapshots. */
+  def addColumn(root: String, name: String, dtype: String,
+      default: Option[String] = None): TileTable =
+    mutateManifest(root, op = OpEvolve) { m =>
+      val ddl = m.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"$root predates schema tracking (no schema in the manifest) " +
+          "— recreate it with TileTable.write to enable evolution"))
+      val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      require(!st.fieldNames.contains(name),
+        s"column '$name' already exists in $root")
+      // validate the default parses AND analyzes against the declared
+      // type NOW — failing at some later scan would poison every
+      // reader (Column construction alone is lazy, so force analysis
+      // over a one-row relation)
+      default.foreach { d =>
+        try {
+          val c = expr(d).cast(dtype)
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .foreach(s => s.range(1).select(c).queryExecution.analyzed)
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"default '$d' for column '$name $dtype' is not a valid " +
+              s"literal expression: ${e.getMessage}")
+        }
+      }
+      org.apache.spark.sql.types.StructType.fromDDL(s"$name $dtype")
+      Some(m.copy(schemaDdl = Some(s"$ddl, $name $dtype"),
+        addedColumns = m.addedColumns :+
+          AddedColumn(name, dtype, default)))
+    }
+
+  /** Manifest-relative path of the data file a row came from — the
+    * last two path components of the scan's `_metadata.file_path`
+    * (every data path is `<dir>/<part-file>` with a job-UUID part
+    * name, unique within a table). `_metadata` resolves per-relation,
+    * so the expression stays legal under joins (`input_file_name()`
+    * does not). The join key that binds tombstones to the file they
+    * delete from. */
+  private[sources] def relFileCol: org.apache.spark.sql.Column =
+    regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+
+  /** Join a scan against a tombstone frame on (file, image_id[, band])
+    * — `"left_anti"` drops deleted rows (the read path), `"left_semi"`
+    * keeps exactly them (CDC retraction). The tombstone side is
+    * takedown-sized and broadcast. A `_gf` column already present on
+    * `df` is used (and kept); otherwise it is derived from the scan's
+    * metadata and dropped again. */
+  private[sources] def applyTombstones(df: DataFrame, tomb: DataFrame,
+      joinType: String): DataFrame = {
+    val keyCols = tomb.columns.toSeq.filter(_ != "file")
+    val hadGf = df.columns.contains("_gf")
+    val keyed = if (hadGf) df else df.withColumn("_gf", relFileCol)
+    val t = tomb.withColumnRenamed("file", "_gf")
+    val j = keyed.join(broadcast(t), Seq("_gf") ++ keyCols, joinType)
+    if (hadGf) j else j.drop("_gf")
+  }
 
   /** The operation tag of a committed version (None: version
     * unreadable, or a pre-tag legacy head). */
   def commitOp(root: String, version: Int): Option[String] =
-    headParts(root, version).flatMap(_._3)
+    headParts(root, version).flatMap(_.op)
 
   private def headJson(m: TileManifest, segs: Seq[SegmentRef],
       op: String): String = {
@@ -779,6 +1072,22 @@ object TileTable {
       val so = sa.addObject()
       so.put("path", s.path); so.put("nFiles", s.nFiles)
       so.put("cellMin", s.cellMin); so.put("cellMax", s.cellMax)
+    }
+    if (m.deletes.nonEmpty) {
+      val da = o.putArray("deletes")
+      m.deletes.foreach { d =>
+        val dd = da.addObject()
+        dd.put("path", d.path); dd.put("nKeys", d.nKeys)
+      }
+    }
+    m.schemaDdl.foreach(s => o.put("schema", s))
+    if (m.addedColumns.nonEmpty) {
+      val aa = o.putArray("addedColumns")
+      m.addedColumns.foreach { c =>
+        val co = aa.addObject()
+        co.put("name", c.name); co.put("dtype", c.dtype)
+        c.default.foreach(d => co.put("default", d))
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
@@ -866,10 +1175,22 @@ object TileTable {
       }.getOrElse(Map.empty[String, Seq[Long]]) ++
         Option(j.get("committedBatches")).map(c =>
           DefaultWriter -> c.elements().asScala.map(_.asLong()).toSeq)
+    val addedCols = Option(j.get("addedColumns"))
+      .map(_.elements().asScala.map(c =>
+        AddedColumn(c.get("name").asText(), c.get("dtype").asText(),
+          Option(c.get("default")).map(_.asText()))).toSeq)
+      .getOrElse(Nil)
     new TileTable(root, TileManifest(grid, nodata,
       j.get("cellLevel").asInt(), files,
-      Option(j.get("srs")).map(_.asText()), bands, writers), version)
+      Option(j.get("srs")).map(_.asText()), bands, writers,
+      parseDeletes(j), Option(j.get("schema")).map(_.asText()),
+      addedCols), version)
   }
+
+  private def parseDeletes(j: JsonNode): Seq[DeleteFileRef] =
+    Option(j.get("deletes")).map(_.elements().asScala.map(d =>
+      DeleteFileRef(d.get("path").asText(), d.get("nKeys").asLong())
+    ).toSeq).getOrElse(Nil)
 
   /** Data-file paths a manifest version head references — inline
     * legacy `files` plus every segment entry. Nil for an absent head;
@@ -890,11 +1211,14 @@ object TileTable {
     }
 
   /** A head version's file list split into (inline legacy files,
-    * segment refs) WITHOUT loading any segment — the unit of work for
-    * the segment-level diff in [[changedFiles]]. None: version not
-    * readable. */
-  private def headParts(root: String, version: Int)
-      : Option[(Seq[TileFileStat], Seq[SegmentRef], Option[String])] =
+    * segment refs, op tag, delete refs) WITHOUT loading any segment —
+    * the unit of work for the segment-level diff in [[changedSets]].
+    * None: version not readable. */
+  private final case class HeadParts(files: Seq[TileFileStat],
+      segs: Seq[SegmentRef], op: Option[String],
+      deletes: Seq[DeleteFileRef])
+
+  private def headParts(root: String, version: Int): Option[HeadParts] =
     store(root).readString(manifestRel(version)).map { txt =>
       val j = mapper.readTree(txt)
       val segs = Option(j.get("segments")).map(_.elements().asScala.map {
@@ -902,8 +1226,8 @@ object TileTable {
           SegmentRef(s.get("path").asText(), s.get("nFiles").asInt(),
             s.get("cellMin").asLong(), s.get("cellMax").asLong())
       }.toSeq).getOrElse(Nil)
-      (parseFiles(j.get("files")), segs,
-        Option(j.get("op")).map(_.asText()))
+      HeadParts(parseFiles(j.get("files")), segs,
+        Option(j.get("op")).map(_.asText()), parseDeletes(j))
     }
 
   /** Data files APPENDED between manifest versions `fromVersion`
@@ -925,6 +1249,22 @@ object TileTable {
     * `vacuum(retainVersions = …)` to keep the window. */
   def changedFiles(root: String, fromVersion: Int,
       toVersion: Int): Seq[TileFileStat] = {
+    val cs = changedSets(root, fromVersion, toVersion)
+    if (cs.hasRemovals) throw new IllegalStateException(
+      s"incremental read of $root versions $fromVersion..$toVersion " +
+        "crosses a row-level delete — this window has removals; use " +
+        "readChangesWithRemovals/changedSets to fold them")
+    cs.added
+  }
+
+  /** Delete-aware CDC diff: files appended in the window PLUS, per
+    * delete step, the files dropped whole and the tombstones added
+    * (see [[TileChanges]]/[[RemovalStep]]). Append/compact handling
+    * is unchanged from [[changedFiles]]'s contract; a commit that
+    * removed files or added tombstones WITHOUT the delete/replace tag
+    * still fails loudly — guessing would double- or under-count. */
+  def changedSets(root: String, fromVersion: Int,
+      toVersion: Int): TileChanges = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val fromParts = headParts(root, fromVersion)
@@ -934,42 +1274,58 @@ object TileTable {
         "raise vacuum(retainVersions) to keep an incremental-read window")
     // one head-JSON parse per version (each head is both a step's
     // "current" and the next step's "predecessor" — carry it forward)
-    var prev = fromParts.getOrElse(
-      (Nil: Seq[TileFileStat], Nil: Seq[SegmentRef],
-        None: Option[String]))
-    (fromVersion + 1 to toVersion).flatMap { v =>
-      val cur@(cFiles, cSegs, op) = headParts(root, v).getOrElse(
+    var prev = fromParts.getOrElse(HeadParts(Nil, Nil, None, Nil))
+    val added = Seq.newBuilder[TileFileStat]
+    val removals = Seq.newBuilder[RemovalStep]
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val cur = headParts(root, v).getOrElse(
         throw new java.nio.file.NoSuchFileException(
           s"$root/${manifestRel(v)}"))
-      val (pFiles, pSegs, _) = prev
+      val p = prev
       prev = cur
       // a compaction step (OpReplace) rewrites existing rows into new
-      // files and contributes nothing — decided from the op tag alone,
-      // BEFORE any segment load: crossing a whole-table rewrite costs
-      // one head parse, not two O(table) metadata passes
-      if (op.contains(OpReplace)) Nil
-      else {
-        val prevRefs = pSegs.map(_.path).toSet
-        val curRefs = cSegs.map(_.path).toSet
+      // files (folding tombstones in) and contributes nothing —
+      // decided from the op tag alone, BEFORE any segment load:
+      // crossing a whole-table rewrite costs one head parse, not two
+      // O(table) metadata passes
+      if (!cur.op.contains(OpReplace)) {
+        val prevRefs = p.segs.map(_.path).toSet
+        val curRefs = cur.segs.map(_.path).toSet
         // only non-shared segments are ever loaded
-        val droppedPaths = pSegs.filterNot(s => curRefs.contains(s.path))
+        val droppedPaths = p.segs.filterNot(s => curRefs.contains(s.path))
           .flatMap(loadSegment(root, _).map(_.path)).toSet ++
-          pFiles.map(_.path)
-        val fresh = cSegs.filterNot(s => prevRefs.contains(s.path))
-          .flatMap(loadSegment(root, _)) ++ cFiles
-        val added = fresh.filterNot(f => droppedPaths.contains(f.path))
+          p.files.map(_.path)
+        val fresh = cur.segs.filterNot(s => prevRefs.contains(s.path))
+          .flatMap(loadSegment(root, _)) ++ cur.files
+        added ++= fresh.filterNot(f => droppedPaths.contains(f.path))
         // a head lists each path at most once, so a dropped segment's
         // files can never also live in a SHARED segment — removal
         // detection needs only the non-shared side of both heads
         val removed = droppedPaths -- fresh.iterator.map(_.path)
-        if (removed.nonEmpty) throw new IllegalStateException(
-          s"incremental read of $root across version $v: files were " +
-            s"removed by a commit tagged ${op.getOrElse("<untagged>")} " +
-            "— appended rows cannot be derived across an untagged " +
-            "rewrite (compact() tags its commits 'replace')")
-        added
+        val prevTombs = p.deletes.map(_.path).toSet
+        val newTombs = cur.deletes.filterNot(d =>
+          prevTombs.contains(d.path))
+        if (cur.op.contains(OpDelete)) {
+          if (removed.nonEmpty || newTombs.nonEmpty)
+            removals += RemovalStep(removed.toSeq.sorted, newTombs,
+              p.deletes)
+        } else {
+          if (removed.nonEmpty) throw new IllegalStateException(
+            s"incremental read of $root across version $v: files were " +
+              s"removed by a commit tagged " +
+              s"${cur.op.getOrElse("<untagged>")} " +
+              "— appended rows cannot be derived across an untagged " +
+              "rewrite (compact() tags its commits 'replace', " +
+              "deleteWhere() tags its commits 'delete')")
+          if (newTombs.nonEmpty) throw new IllegalStateException(
+            s"incremental read of $root across version $v: tombstones " +
+              s"were added by a commit tagged " +
+              s"${cur.op.getOrElse("<untagged>")} — row-level deletes " +
+              "must commit under the delete tag (deleteWhere())")
+        }
       }
     }
+    TileChanges(added.result(), removals.result())
   }
 
   /** Incremental scan: only the rows appended between the two manifest
@@ -981,8 +1337,60 @@ object TileTable {
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
     val files = changedFiles(root, fromVersion, toVersion)
-    if (files.isEmpty) open(root).read(spark).limit(0)
-    else spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val t = open(root)
+    if (files.isEmpty) t.read(spark).limit(0)
+    else t.scanRaw(spark, files.map(_.path))
+  }
+
+  /** Delete-aware incremental scan: (rows appended, rows removed) in
+    * the window — the removed side is None when no delete step
+    * occurred (the common append-only case pays nothing). Removed
+    * rows are exactly the rows that were LIVE when their delete
+    * landed: a dropped file's physical rows minus the tombstones
+    * already in effect, plus the rows each new tombstone names. Rows
+    * appended AND deleted inside the window appear on both sides (a
+    * fold of +added −removed nets them out). Dropped files stay on
+    * disk (and readable here) until their last referencing manifest
+    * version ages out of [[vacuum]] retention — the retraction
+    * window IS the time-travel window. */
+  def readChangesWithRemovals(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): (DataFrame, Option[DataFrame]) = {
+    val cs = changedSets(root, fromVersion, toVersion)
+    def emptyLike = open(root).read(spark).limit(0)
+    val added =
+      if (cs.added.isEmpty) emptyLike
+      else spark.read.parquet(cs.added.map(f => s"$root/${f.path}"): _*)
+    if (!cs.hasRemovals) (added, None)
+    else {
+      val t = open(root)
+      val frames = cs.removals.flatMap { step =>
+        val droppedRows =
+          if (step.droppedFiles.isEmpty) None
+          else {
+            val raw = t.scanRaw(spark, step.droppedFiles)
+            if (step.priorDeletes.isEmpty) Some(raw)
+            else Some(applyTombstones(raw, spark.read.parquet(
+              step.priorDeletes.map(d => s"$root/${d.path}"): _*),
+              "left_anti"))
+          }
+        val tombRows =
+          if (step.newTombstones.isEmpty) None
+          else {
+            val keys = spark.read.parquet(
+              step.newTombstones.map(d => s"$root/${d.path}"): _*)
+            // tombstones name their data files — read only those
+            val dataPaths = keys.select("file").distinct()
+              .collect().map(_.getString(0))
+            if (dataPaths.isEmpty) None
+            else Some(applyTombstones(
+              t.scanRaw(spark, dataPaths.toIndexedSeq), keys,
+              "left_semi"))
+          }
+        droppedRows.toSeq ++ tombRows.toSeq
+      }
+      (added, Some(frames.reduceOption(_ unionByName _)
+        .getOrElse(emptyLike)))
+    }
   }
 
   def exists(root: String): Boolean =
@@ -1010,11 +1418,10 @@ object TileTable {
     * a lost-lock race can cost a manifest update, never data.
     *
     * Manifest/segment aging runs through the root's [[ManifestStore]];
-    * the DATA-directory walk below is the one remaining direct-FS
-    * dependency (data files are written by Spark's Hadoop filesystem —
-    * an object-store deployment swaps this walk for the Hadoop
-    * FileSystem listing API; it is plain listing+delete, no atomicity
-    * required). */
+    * the DATA-directory walk and GC run through the Hadoop FileSystem
+    * of the root (the same API Spark writes the Parquet through), so
+    * an object-store deployment needs no port here — plain
+    * listing+delete, no atomicity required. */
   def vacuum(root: String,
       graceMs: Long = 10 * 60 * 1000L,
       retainVersions: Int = 1): Seq[String] = withTableLock(root) {
@@ -1059,21 +1466,12 @@ object TileTable {
     val referenced = versions(root).iterator
       .flatMap(v => headFilePaths(root, v))
       .map(parentDir).toSet
-    val dirs = Files.list(Paths.get(root))
-    val removable =
-      try {
-        dirs.iterator().asScala
-          .filter(Files.isDirectory(_))
-          .filter(p =>
-            try Files.getLastModifiedTime(p).toMillis < cutoff
-            catch { case _: Exception => false })
-          .map(_.getFileName.toString)
-          .filter(d => (d == "data" || d.startsWith("data-") ||
-            d.startsWith("append-")) && !referenced.contains(d))
-          .toSeq
-      } finally dirs.close()
-    removable.foreach(d =>
-      graft.engine.Checkpoints.deleteRecursively(Paths.get(root, d)))
+    val removable = listDataPlaneDirs(root, "")
+      .filter { case (_, mtime) => mtime < cutoff }
+      .map(_._1)
+      .filter(d => (d == "data" || d.startsWith("data-") ||
+        d.startsWith("append-")) && !referenced.contains(d))
+    removable.foreach(d => deleteDataPlaneDir(root, d))
     // segment GC: a segment is retired once NO manifest version still
     // present references it (losers of commit races, and segments of
     // heads the pass above just deleted). The same grace window
@@ -1090,6 +1488,18 @@ object TileTable {
         .filter(n => st.mtimeMs(s"$SegDir/$n").exists(_ < cutoff))
         .foreach(n => st.delete(s"$SegDir/$n"))
     }
+    // tombstone GC (same rule as segments): a delete file is retired
+    // once NO readable manifest version references it — compacted-away
+    // tombstones and losers of delete-commit races. Grace window
+    // protects an in-flight deleteWhere whose head hasn't landed.
+    val referencedDels = versions(root).iterator
+      .flatMap(v => headParts(root, v).map(_.deletes.map(_.path))
+        .getOrElse(Nil)).toSet
+    listDataPlaneDirs(root, "del")
+      .filter { case (n, mtime) =>
+        !referencedDels.contains(s"del/$n") && mtime < cutoff
+      }
+      .foreach { case (n, _) => deleteDataPlaneDir(root, s"del/$n") }
     removable.sorted
   }
 }

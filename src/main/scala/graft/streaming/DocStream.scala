@@ -42,57 +42,83 @@ object DocStream {
     * semantics online — strictly more than [[signatureDedupStream]]'s
     * signature-equality prefilter, at foreachBatch (not per-row) cost.
     *
-    * Index state is VERSIONED BY BATCH (`b<id>/` + a
-    * `batch-<id>.done` marker as the LAST step): every write a batch
-    * performs targets paths derived from its own id with overwrite
-    * semantics (its pairs land in `pairsDir/batch-<id>`, its grown
-    * index in `indexDir/b<id>`), and a replayed batch whose marker
-    * exists is a pure no-op. A crash at ANY earlier point makes the
-    * replay redo the batch deterministically against the latest
-    * MARKED index version — partial pairs/index output from the
-    * crashed attempt is overwritten, never appended to, so nothing
-    * duplicates and nothing is lost. Marked `b<id>` dirs are
+    * Index state is VERSIONED (`v<seq>/` dirs) with replay markers
+    * SCOPED BY WRITER: each applied batch publishes the grown index
+    * as `v<maxMarkedSeq+1>` and then (LAST step, atomic move) a
+    * `done-<writerId>-<batchId>` marker whose CONTENT is the seq it
+    * published. Batch ids are monotonic only within one writer — a
+    * stream restarted from a FRESH checkpoint restarts ids at 0, so
+    * an unscoped `batch-0.done` from the old incarnation would make
+    * genuinely new data a silent no-op (the same reason
+    * `TileTable.appendBatch` keys replay by (writerId, batchId)).
+    * Pass the streaming query's stable id as `writerId`; a fresh
+    * checkpoint gets a fresh writer id and CONTINUES the index chain
+    * from the latest marked version, whoever wrote it.
+    *
+    * Crash safety: every write a batch performs targets a path
+    * deterministic in its inputs with overwrite semantics (pairs in
+    * `pairsDir/<writerId>-batch-<id>`, index in `v<seq>` where seq
+    * is recomputed from the markers), so a replay after a crash at
+    * ANY earlier point redoes the batch against the latest MARKED
+    * version — partial output is overwritten, never appended to.
+    * The marker itself is published by atomic rename so a torn
+    * marker can never mask a half-applied batch. One writer at a
+    * time (foreachBatch serializes batches; concurrent writers to
+    * one index need an external lock). Marked `v<seq>` dirs are
     * immutable; versions older than the latest marker can be deleted
-    * once no reader holds them. Read the pair log with
-    * `spark.read.parquet(s"$pairsDir/batch-*")`.
+    * once no reader holds them. Read the pair log with a glob over
+    * `pairsDir` matching `&lt;writer&gt;-batch-&lt;id&gt;`.
     *
     * Scale shape per batch: O(batch) banding + joins against the
     * saved index (see minhashDedupIncremental); the index read is
     * lazy, so only the joined partitions stream. */
   def incrementalDedupSink(indexDir: String, pairsDir: String,
       idCol: String, textCol: String, numHashes: Int, numBands: Int,
-      minJaccard: Double): (DataFrame, Long) => Unit = {
+      minJaccard: Double,
+      writerId: String = "default"): (DataFrame, Long) => Unit = {
     import graft.operators.TextOps
     import scala.jdk.CollectionConverters._
+    require(!writerId.contains('/') && !writerId.contains('-'),
+      s"writerId '$writerId' must not contain '/' or '-' " +
+        "(it is embedded in marker and path names)")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val base = java.nio.file.Paths.get(indexDir)
       java.nio.file.Files.createDirectories(base)
-      if (java.nio.file.Files.exists(base.resolve(s"batch-$batchId.done")))
-        () // replayed batch: already applied, emit nothing
+      val marker = base.resolve(s"done-$writerId-$batchId")
+      if (java.nio.file.Files.exists(marker))
+        () // replayed (writer, batch): already applied, emit nothing
       else {
-        val applied = {
+        // latest marked index version across ALL writers — markers
+        // carry the seq they published, so the chain survives a
+        // fresh-checkpoint restart under a new writer id
+        val maxSeq = {
           val s = java.nio.file.Files.list(base)
           try s.iterator().asScala.map(_.getFileName.toString)
-            .flatMap {
-              case m if m.startsWith("batch-") && m.endsWith(".done") =>
-                m.stripPrefix("batch-").stripSuffix(".done").toLongOption
-              case _ => None
-            }.toSeq
+            .filter(_.startsWith("done-"))
+            .flatMap(m => scala.util.Try(java.nio.file.Files
+              .readString(base.resolve(m)).trim.toLong).toOption)
+            .maxOption
           finally s.close()
         }
-        val idx =
-          if (applied.isEmpty) TextOps.minhashIndex(batch.limit(0),
+        val idx = maxSeq match {
+          case None => TextOps.minhashIndex(batch.limit(0),
             idCol, textCol, numHashes, numBands)
-          else TextOps.loadMinhashIndex(spark,
-            s"$indexDir/b${applied.max}")
+          case Some(sq) => TextOps.loadMinhashIndex(spark,
+            s"$indexDir/v$sq")
+        }
         TextOps.minhashDedupIncremental(idx, batch, idCol, textCol,
           minJaccard)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch-$batchId")
+          .write.mode("overwrite")
+          .parquet(s"$pairsDir/$writerId-batch-$batchId")
+        val seq = maxSeq.getOrElse(0L) + 1
         TextOps.minhashIndexAppend(idx, batch, idCol, textCol)
-          .save(s"$indexDir/b$batchId")
-        java.nio.file.Files.createFile(
-          base.resolve(s"batch-$batchId.done"))
+          .save(s"$indexDir/v$seq")
+        // marker LAST, atomically: content = the published seq
+        val tmp = base.resolve(s".done-$writerId-$batchId.tmp")
+        java.nio.file.Files.writeString(tmp, seq.toString)
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         graft.engine.Caches.drain(spark)
         ()
       }

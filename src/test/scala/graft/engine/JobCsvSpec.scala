@@ -144,6 +144,69 @@ class JobCsvSpec extends SparkSpec {
       "table content changed but the memoized job was skipped")
   }
 
+  test("daily-append job rerun folds only the CDC delta (and a later " +
+      "takedown's retraction) — byte-identical to from-scratch runs, " +
+      "chunks untouched") {
+    val work = Files.createTempDirectory("graft-job-incr")
+    val tr = org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("image_id"),
+      "tile_(\\d+)_(\\d+)", 1).cast("int")
+    val all = Synth.tiles(spark, grid, "raw", 0)
+    import org.apache.spark.sql.functions.lit
+    TileTable.write(spark, all.where(tr < lit(grid.tilesY - 1)), grid,
+      Some(-9999.0), s"$work/rasterA", cellLevel = 8, numFiles = 4)
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+    def mkJob(wd: String, out: String) = Config.JobSpec(
+      tag = "t1", aggVector = s"$vecDir/zones.parquet",
+      aggLayer = "zones", aggField = "grp_field",
+      rasterPaths = Seq(s"$work/rasterA"),
+      operations = Seq("avg", "stdev", "valid_count", "total_count"),
+      rowColOrder = "agg_field,base_raster", workdir = s"$work/$wd",
+      outputCsv = s"$work/$out")
+    val job = mkJob("wd", "out.csv")
+    ZonalJob.run(spark, job, None)
+    val ckpt = ZonalJob.ckptDirFor(job, s"$work/rasterA")
+    assert(Files.exists(Paths.get(ckpt, "fidstats.json")),
+      "first run must leave the per-FID stats sidecar")
+    assert(ZonalJob.incrMarker(ckpt).isEmpty,
+      "first run is a full run, not incremental")
+    val table0 = TileTable.open(s"$work/rasterA")
+    val nChunks = Checkpoints.chunkFiles(table0.manifest.files,
+      Checkpoints.DefaultMaxChunks).size
+    val run1Ids = (0 until nChunks).map(Checkpoints.lineageRunId(ckpt, _))
+
+    // day 2: a batch appends; the job reruns (fingerprint changed)
+    TileTable.appendBatch(spark, s"$work/rasterA",
+      all.where(tr === lit(grid.tilesY - 1)), batchId = 1L)
+    val csv2 = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    assert(ZonalJob.incrMarker(ckpt) === Some((1, 2, 1, 0)),
+      s"expected incremental fold of exactly the appended file, got " +
+        s"${ZonalJob.incrMarker(ckpt)}")
+    // the full-path chunks were NOT recomputed — only the delta ran
+    (0 until nChunks).foreach(i =>
+      assert(Checkpoints.lineageRunId(ckpt, i) === run1Ids(i),
+        s"chunk $i was recomputed by the incremental rerun"))
+    val fresh2 = Files.readString(Paths.get(
+      ZonalJob.run(spark, mkJob("wd2", "out2.csv"), None)))
+    assert(csv2 === fresh2,
+      "incremental rerun diverged from a from-scratch run")
+
+    // day 3: a takedown deletes a stripe; the rerun retracts
+    TileTable.deleteWhere(spark, s"$work/rasterA", tr === lit(2))
+    val csv3 = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    assert(ZonalJob.incrMarker(ckpt) === Some((2, 3, 0, 1)),
+      s"expected a retraction-only window, got " +
+        s"${ZonalJob.incrMarker(ckpt)}")
+    val fresh3 = Files.readString(Paths.get(
+      ZonalJob.run(spark, mkJob("wd3", "out3.csv"), None)))
+    assert(csv3 === fresh3,
+      "post-delete incremental rerun diverged from a from-scratch run")
+    assert(csv3 !== csv2, "the delete must change the stats")
+    graft.engine.Caches.drain(spark)
+  }
+
   test("job on a multi-band table addresses band 1 only (reference " +
       "(path, 1) semantics)") {
     val work = Files.createTempDirectory("graft-job-mb")

@@ -155,6 +155,163 @@ class TileTableChangesSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  // ---- row-level deletes ------------------------------------------
+
+  private def trCol = regexp_extract(col("image_id"),
+    "tile_(\\d+)_(\\d+)", 1).cast("int")
+
+  test("deleteWhere: partial files get tombstones, fully-matching " +
+      "files drop whole; every read path excludes the rows; " +
+      "re-appended ids are NOT suppressed (file-scoped tombstones)") {
+    val (dir, nNorth, nSouth) = splitTable()
+    val total = nNorth + nSouth
+    // the appended batch (south half) lives in its own file(s): delete
+    // ALL of it (file drop) plus one north stripe (tombstones)
+    val t2 = TileTable.deleteWhere(spark, dir,
+      trCol >= lit(grid.tilesY / 2) || trCol === lit(1))
+    assert(t2.manifest.deletes.nonEmpty, "expected tombstones")
+    assert(TileTable.commitOp(dir, t2.version)
+      .contains(TileTable.OpDelete))
+    val stripe = grid.tilesX // one tile row
+    assert(t2.read(spark).count() == total - nSouth - stripe)
+    // dropped whole: the append files are out of the manifest
+    assert(!t2.manifest.files.exists(_.path.startsWith("append-0-")),
+      "fully-dead append files should drop from the manifest")
+    // pruned reads apply tombstones too
+    assert(t2.readPruned(spark, grid.rasterEnvelope).count() ==
+      total - nSouth - stripe)
+    // a no-match delete is a no-op commit
+    val t3 = TileTable.deleteWhere(spark, dir, trCol === lit(9999))
+    assert(t3.version == t2.version, "no-match delete must not commit")
+    // re-append one previously-deleted tile: tombstones bind to the
+    // OLD file, so the new row must survive
+    val one = Synth.tiles(spark, grid).where(trCol === lit(1)).limit(1)
+    val t4 = TileTable.appendBatch(spark, dir, one, batchId = 7L)
+    assert(t4.read(spark).count() == total - nSouth - stripe + 1)
+  }
+
+  test("changedSets across a delete: removal step carries dropped " +
+      "files + new tombstones; changedFiles refuses the window; " +
+      "readChangesWithRemovals reconstructs exactly the removed rows") {
+    val (dir, _, nSouth) = splitTable()
+    val before = TileTable.open(dir)
+    val deleted = before.read(spark)
+      .where(trCol >= lit(grid.tilesY / 2) || trCol === lit(1))
+    val delIds = deleted.select("image_id").collect()
+      .map(_.getString(0)).toSet
+    TileTable.deleteWhere(spark, dir,
+      trCol >= lit(grid.tilesY / 2) || trCol === lit(1)) // v3
+    val cs = TileTable.changedSets(dir, 2, 3)
+    assert(cs.added.isEmpty)
+    assert(cs.removals.size == 1)
+    assert(cs.removals.head.droppedFiles.nonEmpty)
+    assert(cs.removals.head.newTombstones.nonEmpty)
+    intercept[IllegalStateException](TileTable.changedFiles(dir, 2, 3))
+    val (added, removedOpt) =
+      TileTable.readChangesWithRemovals(spark, dir, 2, 3)
+    assert(added.count() == 0)
+    val removed = removedOpt.get
+    assert(removed.count() == delIds.size)
+    assert(removed.select("image_id").collect().map(_.getString(0))
+      .toSet == delIds)
+    // window spanning append + delete: south rows appear on BOTH sides
+    val (a2, r2) = TileTable.readChangesWithRemovals(spark, dir, 1, 3)
+    assert(a2.count() == nSouth)
+    assert(r2.get.count() == delIds.size)
+  }
+
+  test("a second delete does not re-remove rows already tombstoned " +
+      "(prior deletes subtract from dropped-file retraction)") {
+    val (dir, _, _) = splitTable()
+    // tombstone one stripe...
+    TileTable.deleteWhere(spark, dir, trCol === lit(1)) // v3
+    // ...then drop files that CONTAIN that stripe's file(s) whole
+    TileTable.deleteWhere(spark, dir,
+      trCol < lit(grid.tilesY / 2)) // v4: rest of the north half
+    val r34 = TileTable.readChangesWithRemovals(spark, dir, 3, 4)
+      ._2.get
+    assert(r34.where(trCol === lit(1)).count() == 0,
+      "v4's retraction must not re-remove rows v3 already deleted")
+    // fold check over the full window: adds minus removes = live rows
+    val (aAll, rAll) = TileTable.readChangesWithRemovals(spark, dir, 0, 4)
+    val live = TileTable.open(dir).read(spark).count()
+    assert(aAll.count() - rAll.get.count() == live)
+  }
+
+  test("runIncremental across a delete equals a full recompute — " +
+      "including retracted extremes (min/max recompute path)") {
+    val (dir, _, _) = splitTable()
+    val extra = Synth.tiles(spark, grid).limit(3)
+    // re-appends tiles 0..2 as duplicate-cell rows: both paths must
+    // count them twice (per-tile processing), staying value-identical
+    TileTable.appendBatch(spark, dir, extra, batchId = 1L) // v3
+    val zones = Fixtures.zonesBasic(grid)
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(dir, 1).read(spark), zones, grid, Some(-9999.0))
+    // delete a stripe that certainly holds some zone's max pixel
+    TileTable.deleteWhere(spark, dir, trCol === lit(2)) // v4
+    val table = TileTable.open(dir)
+    val inc = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1)
+    val fullRun = ZonalEngine.run(spark, table.read(spark), zones, grid,
+      Some(-9999.0))
+    val cols = fullRun.columns.sorted.map(col)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(rows(inc).toSeq == rows(fullRun).toSeq)
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("compact folds tombstones into the rewrite and clears the " +
+      "delete list; CDC windows crossing delete+compact still work; " +
+      "vacuum retires unreferenced tombstone files") {
+    val (dir, _, _) = splitTable()
+    TileTable.deleteWhere(spark, dir, trCol === lit(1)) // v3
+    val liveBefore = TileTable.open(dir).read(spark).count()
+    val t4 = TileTable.compact(spark, dir, numFiles = 1,
+      keepOld = true) // v4
+    assert(t4.manifest.deletes.isEmpty, "compact must clear tombstones")
+    assert(t4.read(spark).count() == liveBefore)
+    // the delete step's retraction is still readable across the
+    // compact: exactly the one deleted tile-row (tilesX tiles)
+    val (_, rOpt) = TileTable.readChangesWithRemovals(spark, dir, 2, 4)
+    assert(rOpt.get.count() == grid.tilesX)
+    // vacuum with retention 1: old versions (and with them the last
+    // tombstone reference) age out; the del/ dir empties
+    TileTable.vacuum(dir, graceMs = 0L, retainVersions = 1)
+    val delDir = java.nio.file.Paths.get(dir, "del")
+    val left =
+      if (!java.nio.file.Files.isDirectory(delDir)) 0
+      else {
+        val s = java.nio.file.Files.list(delDir)
+        try s.count() finally s.close()
+      }
+    assert(left == 0, s"expected tombstone GC, $left entries left")
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("runIncremental under lastWins (overlapping zones) equals a " +
+      "lastWins full recompute — burn order is per-pixel, so appends " +
+      "never change already-folded assignments") {
+    val (dir, _, _) = splitTable()
+    val zones = Fixtures.zonesBasic(grid) // overlapping by design
+    val table = TileTable.open(dir)
+    val prev = ZonalEngine.fidStatsFor(spark,
+      TileTable.openAt(dir, 1).read(spark), zones, grid, Some(-9999.0),
+      lastWins = true)
+    val inc = ZonalEngine.runIncremental(spark, table, zones, prev,
+      fromVersion = 1, lastWins = true)
+    val fullRun = ZonalEngine.run(spark, table.read(spark), zones, grid,
+      Some(-9999.0), lastWins = true)
+    val cols = fullRun.columns.sorted.map(col)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(rows(inc).toSeq == rows(fullRun).toSeq)
+    graft.engine.Caches.drain(spark)
+  }
+
   test("runIncremental equals a full recompute at the head") {
     val (dir, _, _) = splitTable()
     val zones = Fixtures.zonesBasic(grid)

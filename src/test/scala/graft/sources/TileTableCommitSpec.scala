@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import graft.synth.Synth
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -100,6 +100,61 @@ class TileTableCommitSpec extends SparkSpec {
     assert(t.read(spark).count() === n0 + 6)
     assert(t.manifest.committedBatches.sorted === (10L to 15L))
     assert(t.manifest.files.map(_.rows).sum === n0 + 6)
+  }
+
+  test("schema evolution: addColumn-with-default reads over old and " +
+      "new files in one scan; explicit nulls survive when no default " +
+      "is declared; compact materializes the column") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val all = Synth.tiles(spark, grid)
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    TileTable.write(spark, all.where(tr < lit(grid.tilesY / 2)), grid,
+      Some(-9999.0), dir, cellLevel = 8, numFiles = 2)
+    // two evolutions: a defaulted double + an undefaulted string
+    TileTable.addColumn(dir, "quality", "double", Some("0.5"))
+    TileTable.addColumn(dir, "source", "string")
+    assert(TileTable.commitOp(dir, TileTable.currentVersion(dir))
+      .contains(TileTable.OpEvolve))
+    // duplicate / garbage-default refusals
+    intercept[IllegalArgumentException](
+      TileTable.addColumn(dir, "quality", "double"))
+    intercept[Exception](
+      TileTable.addColumn(dir, "junk", "double", Some("not a ( literal")))
+    // v2 batch carries both columns, one quality value NULL
+    val batch = all.where(tr >= lit(grid.tilesY / 2))
+      .withColumn("quality",
+        when(tr === lit(grid.tilesY - 1), lit(null).cast("double"))
+          .otherwise(lit(0.25)))
+      .withColumn("source", lit("web"))
+    TileTable.appendBatch(spark, dir, batch, batchId = 0L)
+    val t = TileTable.open(dir)
+    val got = t.read(spark)
+      .groupBy("quality", "source").count()
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getLong(2))).toSet
+    val half = grid.numTiles / 2
+    val row = grid.tilesX.toLong
+    assert(got === Set(
+      // old files: defaulted quality, undefaulted source stays null
+      (Some(0.5), None, half),
+      // new files, explicit values
+      (Some(0.25), Some("web"), half - row),
+      // a defaulted column's EXPLICIT null also fills (documented
+      // coalesce semantics — declare no default to keep nulls)
+      (Some(0.5), Some("web"), row)), s"got $got")
+    // CDC delta reads carry the evolved schema too
+    val delta = TileTable.readChanges(spark, dir,
+      TileTable.currentVersion(dir) - 1, TileTable.currentVersion(dir))
+    assert(delta.columns.contains("quality") &&
+      delta.columns.contains("source"))
+    // compact folds the defaults into physical files, schema survives
+    TileTable.compact(spark, dir, numFiles = 1)
+    val t2 = TileTable.open(dir)
+    assert(t2.manifest.schemaDdl.isDefined)
+    assert(t2.read(spark).where(col("quality") === 0.5).count() ===
+      half + row)
+    graft.engine.Caches.drain(spark)
   }
 
   test("vacuum retires superseded manifest versions but never the" +
@@ -419,9 +474,31 @@ class TileTableCommitSpec extends SparkSpec {
       // superseded version ages from its SUCCESSOR's commit time, and
       // the current head itself is never in the GC range) via the
       // double's clock hook, no sleeps, then collect
+      // row-level delete on the CAS store: tombstone commit + reads
+      TileTable.deleteWhere(spark, dir,
+        col("image_id") === "tile_0000_0001")
+      assert(TileTable.open(dir).read(spark).count() === n0,
+        "deleteWhere did not take effect on the CAS store")
+      assert(TileTable.open(dir).manifest.deletes.nonEmpty)
+      // compact folds the tombstones and clears the list
+      TileTable.compact(spark, dir, numFiles = 2)
+      assert(TileTable.open(dir).manifest.deletes.isEmpty)
+      assert(TileTable.open(dir).read(spark).count() === n0)
+
+      // vacuum: age EVERY object (including the current head — a
+      // superseded version ages from its SUCCESSOR's commit time, and
+      // the current head itself is never in the GC range) via the
+      // double's clock hook, no sleeps, then collect
       val current = TileTable.currentVersion(dir)
       assert(current >= 3)
       store.keys.foreach(k => store.setMtime(k, 1L))
+      // data-plane mtimes age for real (the walk runs through the
+      // Hadoop FS of the root, not java.nio)
+      val rootDirs = Files.list(Paths.get(dir))
+      try rootDirs.forEach(p =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1L)))
+      finally rootDirs.close()
       TileTable.vacuum(dir, graceMs = 1000L)
       val left = store.keys
       assert(left.count(_.startsWith("manifest-v")) === 1,
@@ -429,7 +506,30 @@ class TileTableCommitSpec extends SparkSpec {
       val liveSegs = TileTable.currentSegmentPaths(dir)
       assert(left.filter(_.startsWith("seg/")).toSet === liveSegs,
         "vacuum left unreferenced segments (or ate referenced ones)")
-      assert(TileTable.open(dir).read(spark).count() === n0 + 1)
+      assert(TileTable.open(dir).read(spark).count() === n0)
+      // data-plane GC: only the live generation (+ the del/ parent,
+      // now empty) may remain on disk
+      val referenced = TileTable.open(dir).manifest.files
+        .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+      val onDisk = {
+        val s = Files.list(Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isDirectory(_))
+            .map(_.getFileName.toString)
+            .filter(d => d == "data" || d.startsWith("data-") ||
+              d.startsWith("append-")).toSet
+        } finally s.close()
+      }
+      assert(onDisk === referenced,
+        s"vacuum data GC mismatch: disk=$onDisk referenced=$referenced")
+      // the folded tombstone files were retired with their heads
+      val delLeft = {
+        val p = Paths.get(dir, "del")
+        if (!Files.isDirectory(p)) 0L
+        else { val s = Files.list(p); try s.count() finally s.close() }
+      }
+      assert(delLeft === 0L, "compacted-away tombstones survived vacuum")
     }
   }
 

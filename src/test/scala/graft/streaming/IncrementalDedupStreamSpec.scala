@@ -47,7 +47,7 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     batches.foreach { case (df, id) => sink(df, id) }
 
     def allPairs() = pairSet(
-      spark.read.parquet(s"$pairsDir/batch-*"))
+      spark.read.parquet(s"$pairsDir/*-batch-*"))
     val expected = pairSet(TextOps.minhashDedup(
       docs.toDF("doc_id", "text"), "doc_id", "text",
       NumHashes, NumBands, MinJ))
@@ -62,14 +62,18 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     // before the marker landed) — the redo must overwrite, not
     // append, and converge to the same state
     val lastId = batches.last._2
-    Files.delete(Paths.get(indexDir, s"batch-$lastId.done"))
+    Files.delete(Paths.get(indexDir, s"done-default-$lastId"))
     sink(batches.last._1, lastId)
     assert(allPairs() == expected, "crash redo diverged")
-    assert(Files.exists(Paths.get(indexDir, s"batch-$lastId.done")))
+    assert(Files.exists(Paths.get(indexDir, s"done-default-$lastId")))
 
     // the final on-disk index equals a from-scratch index over all
     // docs fed so far (so the NEXT batch sees the whole corpus)
-    val idx = TextOps.loadMinhashIndex(spark, s"$indexDir/b$lastId")
+    val lastSeq = Files.readString(
+      Paths.get(indexDir, s"done-default-$lastId")).trim.toLong
+    assert(lastSeq == batches.size,
+      s"expected ${batches.size} published versions, marker says $lastSeq")
+    val idx = TextOps.loadMinhashIndex(spark, s"$indexDir/v$lastSeq")
     val scratch = TextOps.minhashIndex(docs.toDF("doc_id", "text"),
       "doc_id", "text", NumHashes, NumBands)
     def rows(df: DataFrame) = df.collect().map(_.toSeq.map {
@@ -79,6 +83,34 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(rows(idx.members) == rows(scratch.members))
     assert(rows(idx.repToks) == rows(scratch.repToks))
     assert(rows(idx.repBands) == rows(scratch.repBands))
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("a fresh-checkpoint restart (new writer id, batch ids back " +
+      "at 0) is NOT swallowed as a replay and continues the chain") {
+    val work = Files.createTempDirectory("graft-incr-writer").toString
+    val indexDir = s"$work/index"
+    val pairsDir = s"$work/pairs"
+    // incarnation 1 applies the first 5 docs as its batch 0...
+    val sinkA = DocStream.incrementalDedupSink(indexDir, pairsDir,
+      "doc_id", "text", NumHashes, NumBands, MinJ, writerId = "qA")
+    sinkA(docs.take(5).toDF("doc_id", "text"), 0L)
+    // ...then the checkpoint is lost; the restarted query gets a new
+    // writer id and redelivers NEW data as ITS batch 0
+    val sinkB = DocStream.incrementalDedupSink(indexDir, pairsDir,
+      "doc_id", "text", NumHashes, NumBands, MinJ, writerId = "qB")
+    sinkB(docs.drop(5).toDF("doc_id", "text"), 0L)
+    val expected = pairSet(TextOps.minhashDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      NumHashes, NumBands, MinJ))
+    val got = pairSet(spark.read.parquet(s"$pairsDir/*-batch-*"))
+    assert(got == expected,
+      s"restart under a new writer lost data: got=$got expected=$expected")
+    // the chain continued: two published versions, the second writer's
+    // marker points at v2
+    val seqB = Files.readString(
+      Paths.get(indexDir, "done-qB-0")).trim.toLong
+    assert(seqB == 2L, s"expected v2 from the second writer, got v$seqB")
     graft.engine.Caches.drain(spark)
   }
 
