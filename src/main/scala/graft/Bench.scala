@@ -40,10 +40,17 @@ object Bench {
       fid += 1
     }
     // countries: 32 medium rects (~1/8 of the world across)
+    // NOTE the .toLong: the i*prime*w products overflow Int from
+    // i=16 (small zones) — rounds 1-6 silently placed 108 of the 160
+    // small zones OFF-GRID (negative pixel coords), so they owned no
+    // pixels and every run dragged them through the envelope
+    // fallback. Fixed in round 7; bench numbers before/after are not
+    // directly comparable (the corrected mix rasterizes ~10% more
+    // zone area — see BENCH/BASELINE.md r7 note).
     val cw = w / 8
     for (i <- 0 until 32) {
-      val c0 = (i * 521 * w / 4096) % (w - cw)
-      val r0 = (i * 257 * h / 4096) % (h - cw)
+      val c0 = ((i.toLong * 521 * w / 4096) % (w - cw)).toInt
+      val r0 = ((i.toLong * 257 * h / 4096) % (h - cw)).toInt
       zs += Synth.rectPx(grid, fid, s"country_${i % 8}",
         c0, r0, c0 + cw, r0 + cw)
       fid += 1
@@ -51,13 +58,26 @@ object Bench {
     // small zones: 160 rects (~1/40 of the world across)
     val sw = w / 40
     for (i <- 0 until 160) {
-      val c0 = (i * 1031 * w / 4096) % (w - sw)
-      val r0 = (i * 733 * h / 4096) % (h - sw)
+      val c0 = ((i.toLong * 1031 * w / 4096) % (w - sw)).toInt
+      val r0 = ((i.toLong * 733 * h / 4096) % (h - sw)).toInt
       zs += Synth.rectPx(grid, fid, s"zone_${i % 40}",
         c0, r0, c0 + sw, r0 + sw)
       fid += 1
     }
     zs.toSeq
+  }
+
+  /** Fingerprint of the bench zone mix — fixtures derived from the
+    * zones (the `_incr` prev-stats parquet) must rebuild when the mix
+    * changes, or a silently stale fixture re-creates the exact bug
+    * class the r7 overflow fix removed. */
+  def benchZonesHash: String = {
+    val sb = new StringBuilder
+    benchZones(benchGrid).foreach { z =>
+      sb.append(z.fid).append(':')
+        .append(z.geom.getEnvelopeInternal.toString).append('\n')
+    }
+    f"${graft.functions.XXHash64.hashString(sb.toString, 7L)}%016x"
   }
 
   def session(cores: Int): SparkSession = {
@@ -107,15 +127,21 @@ object Bench {
     * [[runIncrementalUpdate]]. */
   def ensureIncrTable(spark: SparkSession, root: String): Unit = {
     val incr = root + "_incr"
-    // gate on the LAST artifact of the build (the prev-stats parquet,
-    // via its _SUCCESS marker), not the first: a crash between the
-    // table commit and the prev-stats write would otherwise leave a
-    // half-built fixture that every later run trips over
-    if (TileTable.exists(incr) && java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root + "_incr_prev", "_SUCCESS"))) return
+    // gate on the LAST artifact of the build (the zones-fingerprint
+    // marker, written after the prev-stats parquet), not the first: a
+    // crash mid-build would otherwise leave a half-built fixture that
+    // every later run trips over; and the prev stats depend on the
+    // ZONE MIX, so a mix change (the r7 overflow fix) must invalidate
+    val hashFile = java.nio.file.Paths.get(root + "_incr_prev.zones")
+    if (TileTable.exists(incr) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(
+          root + "_incr_prev", "_SUCCESS")) &&
+        java.nio.file.Files.exists(hashFile) &&
+        java.nio.file.Files.readString(hashFile) == benchZonesHash) return
     if (TileTable.exists(incr))
       graft.engine.Checkpoints.deleteRecursively(
         java.nio.file.Paths.get(incr))
+    java.nio.file.Files.deleteIfExists(hashFile)
     val base = TileTable.open(root)
     val split = benchGrid.tilesY * 9 / 10
     val tr = org.apache.spark.sql.functions
@@ -131,6 +157,7 @@ object Bench {
       TileTable.openAt(incr, 1).read(spark), benchZones(benchGrid),
       benchGrid, base.nodata)
     prev.write.mode("overwrite").parquet(root + "_incr_prev")
+    java.nio.file.Files.writeString(hashFile, benchZonesHash)
     graft.engine.Caches.drain(spark)
   }
 
@@ -232,7 +259,8 @@ object Bench {
     val t0 = System.nanoTime()
     val n = ZonalEngine.run(spark, table.readPruned(spark, env), zones,
       g, table.nodata, simplify = false,
-      fallbackTiles = Some(e => table.readPruned(spark, e))).count()
+      fallbackTiles = Some(e => table.readPruned(spark, e)),
+      fallbackHasTiles = Some(e => table.prunedFiles(e).nonEmpty)).count()
     require(n > 0)
     (System.nanoTime() - t0) / 1e9
   }

@@ -400,7 +400,8 @@ object Checkpoints {
     fidStatsSink.foreach(_(fidStats))
     val res = ZonalEngine.finishStats(spark, fidStats, vals, zonesSimpl,
       zonesDf, table.grid, table.nodataFor(band), percs, exactPercentiles,
-      e => table.readPruned(spark, e, band), histogram = None)
+      e => table.readPruned(spark, e, band), histogram = None,
+      tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty))
     if (keepCheckpoints) res
     else {
       // finishStats returns a MATERIALIZED local frame, so the scratch

@@ -85,7 +85,8 @@ object ZonalJob {
           table.readPruned(spark, Zone.totalEnvelope(zones), band),
           zones, table.grid, table.nodataFor(band),
           percentiles, lastWins = true,
-          fallbackTiles = Some(env => table.readPruned(spark, env, band)))
+          fallbackTiles = Some(env => table.readPruned(spark, env, band)),
+          fallbackHasTiles = Some(env => table.prunedFiles(env).nonEmpty))
     })
     val pKeys = ZonalEngine.percentileKeys(
       ZonalEngine.normalizePercentiles(percentiles))

@@ -153,7 +153,34 @@ object ImageOps {
     * indexes as ONE banded value). Save `valueBands` bucketed by
     * `key` and `members` by `dh` for shuffle-free per-batch joins. */
   final case class DhashIndex(members: DataFrame, valueBands: DataFrame,
-    bands: Int, bitsPerBand: Int)
+    bands: Int, bitsPerBand: Int) {
+    /** Persist as the incremental-dedup state (the
+      * [[graft.operators.TextOps.MinhashIndex.save]] convention):
+      * members + banded distinct values as parquet plus a params
+      * sidecar — banding parameters travel WITH the index so a later
+      * batch cannot band under a different split and silently lose
+      * all recall. */
+    def save(dir: String): Unit = {
+      members.write.mode("overwrite").parquet(s"$dir/members")
+      valueBands.write.mode("overwrite").parquet(s"$dir/valueBands")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "params.json"),
+        s"""{"bands":$bands,"bitsPerBand":$bitsPerBand}""")
+    }
+  }
+
+  def loadDhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DhashIndex = {
+    val p = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "params.json")))
+    def intOf(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(p)
+        .getOrElse(sys.error(s"$dir/params.json lacks $k")).group(1).toInt
+    DhashIndex(spark.read.parquet(s"$dir/members"),
+      spark.read.parquet(s"$dir/valueBands"),
+      intOf("bands"), intOf("bitsPerBand"))
+  }
 
   def dhashIndex(df: DataFrame, idCol: String, dhCol: String,
       bands: Int, bitsPerBand: Int): DhashIndex = {
@@ -163,6 +190,25 @@ object ImageOps {
         .select(col("dh"),
           explode(dhashBandKeys(bands, bitsPerBand)).as("key")),
       bands, bitsPerBand)
+  }
+
+  /** Fold a new batch into the index: members union; only values the
+    * corpus has NEVER seen are banded (value-level state — re-banding
+    * a known value would duplicate its (dh, key) rows). O(batch). */
+  def dhashIndexAppend(index: DhashIndex, newDf: DataFrame,
+      idCol: String, dhCol: String): DhashIndex = {
+    val newMembers = newDf.select(col(idCol).as("id"),
+      col(dhCol).as("dh"))
+    val corpusVals = index.valueBands
+      .where(col("key.band") === 0).select("dh")
+    val freshBands = newMembers.select("dh").distinct()
+      .join(corpusVals, Seq("dh"), "left_anti")
+      .select(col("dh"),
+        explode(dhashBandKeys(index.bands, index.bitsPerBand))
+          .as("key"))
+    DhashIndex(index.members.unionByName(newMembers),
+      index.valueBands.unionByName(freshBands),
+      index.bands, index.bitsPerBand)
   }
 
   /** Incremental perceptual dedup: all pairs within Hamming <=

@@ -84,13 +84,47 @@ object Similarity {
     * bucketed by `bucket` so per-batch joins in
     * [[srpNearDupIncremental]] are shuffle-free on the corpus side. */
   final case class SrpIndex(vectors: DataFrame, dim: Int,
-    numPlanes: Int)
+    numPlanes: Int) {
+    /** Persist as the incremental-dedup state (the
+      * [[graft.operators.TextOps.MinhashIndex.save]] convention):
+      * the banded vectors as parquet plus a params sidecar — the
+      * projection parameters MUST travel with the data (a batch
+      * bucketed under different hyperplanes shares no keys and
+      * silently loses every pair). */
+    def save(dir: String): Unit = {
+      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "params.json"),
+        s"""{"dim":$dim,"numPlanes":$numPlanes}""")
+    }
+  }
+
+  def loadSrpIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SrpIndex = {
+    val p = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "params.json")))
+    def intOf(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(p)
+        .getOrElse(sys.error(s"$dir/params.json lacks $k")).group(1).toInt
+    SrpIndex(spark.read.parquet(s"$dir/vectors"),
+      intOf("dim"), intOf("numPlanes"))
+  }
 
   def srpIndex(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numPlanes: Int): SrpIndex =
     SrpIndex(df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), dim, numPlanes)),
       dim, numPlanes)
+
+  /** Fold a new batch into the index: batch vectors are banded under
+    * the INDEX's parameters and unioned — O(batch), nothing re-banded
+    * on the corpus side. */
+  def srpIndexAppend(index: SrpIndex, newDf: DataFrame,
+      idCol: String, vecCol: String): SrpIndex =
+    index.copy(vectors = index.vectors.unionByName(
+      srpIndex(newDf, idCol, vecCol, index.dim, index.numPlanes)
+        .vectors))
 
   /** Incremental SRP near-dedup: all cosine >= threshold pairs
     * sharing an SRP bucket that INVOLVE a batch vector, given the

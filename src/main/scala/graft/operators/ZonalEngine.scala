@@ -162,53 +162,60 @@ object ZonalEngine {
       .toDF("fid", "group")
     val deltaStats = fidStatsFor(spark, delta, zonesRaw, grid, nodata,
       simplify = true, lastWins = lastWins)
-    val folded = ZonalStats.mergeFidStats(prevFidStats, deltaStats)
+    // The merge itself is DRIVER-SIDE: per-FID stats are
+    // zone-cardinality small (the engine-wide broadcastability
+    // assumption; Checkpoints' r3 merge sets the precedent), so the
+    // only cluster work an increment pays is the delta decode — the
+    // fold, retraction, and downstream rollup run over local frames
+    // instead of spending Spark job rounds on LocalTableScans.
+    // Spec-pinned value-identical to the Spark-side
+    // mergeFidStats/retractFidStats (TileTableChangesSpec).
+    val tPhase = System.nanoTime()
+    val deltaLocal = ZonalStats.collectFidStats(deltaStats)
+    val prevLocal = ZonalStats.collectFidStats(prevFidStats)
+    val folded = ZonalStats.mergeFidStatsLocal(prevLocal, deltaLocal)
     // row-level deletes in the window retract: exact subtraction for
     // counts/sums; fids whose extreme might have been the retracted
     // value recompute whole from the live (pruned) table — the
     // recompute set is the zones the takedown actually grazed
-    val (afterRemovals, preRelease: (() => Unit)) = removedOpt match {
-      case None => (folded, () => ())
+    val afterRemovals: Seq[ZonalStats.FidStatRow] = removedOpt match {
+      case None => folded
       case Some(removedAll) =>
-        val removedStats = fidStatsFor(spark, bandFilter(removedAll),
-          zonesRaw, grid, nodata, simplify = true, lastWins = lastWins)
-        val rt = ZonalStats.retractFidStats(folded, removedStats)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        rt.count()
-        val unsafeFids = rt
-          .where(org.apache.spark.sql.functions
-            .col("needs_minmax_recompute"))
-          .select("fid").collect().map(_.getLong(0)).toSet
-        val safe = rt.where(!org.apache.spark.sql.functions
-          .col("needs_minmax_recompute"))
-          .drop("needs_minmax_recompute")
-        val out =
-          if (unsafeFids.isEmpty) safe
-          else {
-            val env = new org.locationtech.jts.geom.Envelope()
-            zones.filter(z => unsafeFids.contains(z.fid))
-              .foreach(z =>
-                env.expandToInclude(z.geom.getEnvelopeInternal))
-            // ALL zones go to the kernel (lastWins burn order must see
-            // every zone); only the unsafe fids' rows are kept
-            val rec = fidStatsFor(spark,
-              table.readPruned(spark, env, band), zonesRaw, grid,
-              nodata, simplify = true, lastWins = lastWins)
-              .where(org.apache.spark.sql.functions.col("fid")
-                .isInCollection(unsafeFids))
-            safe.unionByName(rec)
-          }
-        (out, () => { rt.unpersist(false); () })
+        val removedLocal = ZonalStats.collectFidStats(
+          fidStatsFor(spark, bandFilter(removedAll), zonesRaw, grid,
+            nodata, simplify = true, lastWins = lastWins))
+        val (safe, unsafeFids) =
+          ZonalStats.retractFidStatsLocal(folded, removedLocal)
+        if (unsafeFids.isEmpty) safe
+        else {
+          val env = new org.locationtech.jts.geom.Envelope()
+          zones.filter(z => unsafeFids.contains(z.fid))
+            .foreach(z =>
+              env.expandToInclude(z.geom.getEnvelopeInternal))
+          // ALL zones go to the kernel (lastWins burn order must see
+          // every zone); only the unsafe fids' rows are kept
+          val rec = ZonalStats.collectFidStats(fidStatsFor(spark,
+            table.readPruned(spark, env, band), zonesRaw, grid,
+            nodata, simplify = true, lastWins = lastWins))
+            .filter(r => unsafeFids.contains(r.fid))
+          safe ++ rec
+        }
     }
-    val merged = afterRemovals.persist(StorageLevel.MEMORY_AND_DISK)
-    val releases = Seq(() => { merged.unpersist(false); () })
-    merged.count()
-    preRelease()
+    val merged = ZonalStats.fidStatsFrame(spark, afterRemovals)
     mergedStatsSink.foreach(_(merged))
-    finishStats(spark, merged, None, zones, zonesDf, grid, nodata,
-      percentiles = Nil, exactPercentiles = true,
+    if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
+      System.err.println(f"PHASES incr_merge=${
+        (System.nanoTime() - tPhase) / 1e9}%.3f")
+    val tFin = System.nanoTime()
+    val res = finishStats(spark, merged, None, zones, zonesDf, grid,
+      nodata, percentiles = Nil, exactPercentiles = true,
       tilesFor = e => table.readPruned(spark, e, band),
-      histogram = None, releases = releases)
+      histogram = None,
+      tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty))
+    if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
+      System.err.println(f"PHASES incr_finish=${
+        (System.nanoTime() - tFin) / 1e9}%.3f")
+    res
   }
 
   /** @param exactPercentiles true (default) = exact numpy-parity
@@ -239,7 +246,9 @@ object ZonalEngine {
       lastWins: Boolean = false,
       fallbackTiles: Option[org.locationtech.jts.geom.Envelope => DataFrame]
         = None,
-      histogram: Option[(Double, Double, Int)] = None): DataFrame = {
+      histogram: Option[(Double, Double, Int)] = None,
+      fallbackHasTiles: Option[
+        org.locationtech.jts.geom.Envelope => Boolean] = None): DataFrame = {
     val percentiles = normalizePercentiles(percentilesRaw)
     val pKeys = percentileKeys(percentiles)
     val collectVals = percentiles.nonEmpty
@@ -292,7 +301,7 @@ object ZonalEngine {
       (_: org.locationtech.jts.geom.Envelope) => tiles)
     finishStats(spark, mainFidStats, mainChunks, zones, zonesDf, grid,
       nodata, percentiles, exactPercentiles, tilesFor, histogram,
-      releases.toSeq)
+      releases.toSeq, tilesNonEmpty = fallbackHasTiles)
   }
 
   /** The tail of the zonal pipeline, shared by the direct path above
@@ -314,18 +323,35 @@ object ZonalEngine {
       exactPercentiles: Boolean,
       tilesFor: org.locationtech.jts.geom.Envelope => DataFrame,
       histogram: Option[(Double, Double, Int)],
-      releases: Seq[() => Unit] = Nil): DataFrame = {
+      releases: Seq[() => Unit] = Nil,
+      tilesNonEmpty: Option[
+        org.locationtech.jts.geom.Envelope => Boolean] = None): DataFrame = {
     import spark.implicits._
     val pKeys = percentileKeys(percentiles)
     val collectVals = mainChunks.isDefined
 
     // ---- unset-FID envelope fallback (runner.py:697-811) ----
+    val tPh0 = System.nanoTime()
     val presentFids = mainFidStats.select("fid").as[Long].collect().toSet
     val unset = zones.filter(z => !presentFids.contains(z.fid))
+    val tPh1 = System.nanoTime()
     val (fallbackStats, fallbackChunks, fbReleases) =
       if (unset.isEmpty) (None, None, Nil)
+      // manifest-prune short-circuit: when the caller can prove (from
+      // the driver-side file index, ~ms) that NO table file intersects
+      // the unset zones' envelope, the fallback scan would read zero
+      // tiles and produce zero partials — identical to the zero-stat
+      // fill groupStats applies downstream. Skipping the Spark jobs
+      // matters on the incremental path, where this consult is fixed
+      // per-increment overhead.
+      else if (tilesNonEmpty.exists(f => !f(Zone.totalEnvelope(unset))))
+        (None, None, Nil)
       else runFallback(spark, tilesFor(Zone.totalEnvelope(unset)),
         unset, grid, nodata, collectVals)
+    val tPh2 = System.nanoTime()
+    if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
+      System.err.println(f"PHASES finish_present=${(tPh1 - tPh0) / 1e9}%.3f" +
+        f" finish_fallback=${(tPh2 - tPh1) / 1e9}%.3f unset=${unset.size}")
 
     val fidStatsAll = fallbackStats match {
       case Some(fb) => mainFidStats.unionByName(fb)

@@ -311,6 +311,83 @@ object ZonalStats {
   def mergeFidStats(a: DataFrame, b: DataFrame): DataFrame =
     fidStats(a.unionByName(b))
 
+  /** One per-FID stats row (the [[fidStats]] schema) as a plain value
+    * — the driver-side carrier for dimension-sized merges. The whole
+    * engine already assumes per-FID stats are zone-cardinality small
+    * (broadcast joins, Checkpoints' driver merge); incremental folds
+    * over them should cost driver microseconds, not Spark job rounds
+    * on LocalTableScans. */
+  final case class FidStatRow(fid: Long, cnt: Long, nodata: Long,
+      mn: Double, mx: Double, sum: Double, sumsq: Double)
+
+  def collectFidStats(df: DataFrame): Seq[FidStatRow] =
+    df.select("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+      .collect().map(r => FidStatRow(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toSeq
+
+  def fidStatsFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[FidStatRow]): DataFrame = {
+    import spark.implicits._
+    // fid-sorted for deterministic downstream plans/output
+    rows.sortBy(_.fid)
+      .map(r => (r.fid, r.cnt, r.nodata, r.mn, r.mx, r.sum, r.sumsq))
+      .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+  }
+
+  /** [[mergeFidStats]] driver-side: per fid ≤1 row each side, so the
+    * fold is the same two-operand monoid the Spark agg applies
+    * (IEEE addition of two operands is commutative — bit-identical
+    * whichever side the union puts first). Spec-pinned equal to the
+    * Spark version (TileTableChangesSpec). */
+  def mergeFidStatsLocal(a: Seq[FidStatRow],
+      b: Seq[FidStatRow]): Seq[FidStatRow] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, FidStatRow]
+    a.foreach(r => m(r.fid) = r)
+    b.foreach { r =>
+      m(r.fid) = m.get(r.fid) match {
+        case None => r
+        case Some(p) => FidStatRow(r.fid, p.cnt + r.cnt,
+          p.nodata + r.nodata, math.min(p.mn, r.mn),
+          math.max(p.mx, r.mx), p.sum + r.sum, p.sumsq + r.sumsq)
+      }
+    }
+    m.values.toSeq
+  }
+
+  /** [[retractFidStats]] driver-side — same formulas, same flag
+    * semantics; returns (post-retraction rows with cnt>0 that are
+    * SAFE, the fids that must recompute min/max from the live
+    * table). Spec-pinned equal to the Spark version. */
+  def retractFidStatsLocal(cur: Seq[FidStatRow],
+      removed: Seq[FidStatRow]): (Seq[FidStatRow], Set[Long]) = {
+    val rm = removed.map(r => r.fid -> r).toMap
+    val out = Seq.newBuilder[FidStatRow]
+    val unsafe = Set.newBuilder[Long]
+    cur.foreach { c =>
+      rm.get(c.fid) match {
+        case None => out += c
+        case Some(r) =>
+          val cnt2 = c.cnt - r.cnt
+          val nd2 = c.nodata - r.nodata
+          val valid2 = cnt2 - nd2
+          val rValid = r.cnt - r.nodata
+          if (cnt2 > 0) {
+            if (rValid > 0 && valid2 > 0 &&
+                (r.mn <= c.mn || r.mx >= c.mx)) unsafe += c.fid
+            else if (valid2 == 0)
+              out += FidStatRow(c.fid, cnt2, nd2,
+                Double.PositiveInfinity, Double.NegativeInfinity,
+                0.0, 0.0)
+            else
+              out += FidStatRow(c.fid, cnt2, nd2, c.mn, c.mx,
+                c.sum - r.sum, c.sumsq - r.sumsq)
+          }
+      }
+    }
+    (out.result(), unsafe.result())
+  }
+
   /** Inverse fold of [[mergeFidStats]] — retract `removed` (the
     * [[fidStats]] of deleted rows) from `cur`. Counts and sums
     * subtract exactly (bit-exact for integer-valued pixels — the

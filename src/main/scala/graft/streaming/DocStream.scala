@@ -77,6 +77,75 @@ object DocStream {
       minJaccard: Double,
       writerId: String = "default"): (DataFrame, Long) => Unit = {
     import graft.operators.TextOps
+    versionedIndexSink[TextOps.MinhashIndex](indexDir, pairsDir,
+      writerId,
+      emptyOf = batch => TextOps.minhashIndex(batch.limit(0),
+        idCol, textCol, numHashes, numBands),
+      load = (spark, dir) => TextOps.loadMinhashIndex(spark, dir),
+      dedup = (idx, batch) => TextOps.minhashDedupIncremental(idx,
+        batch, idCol, textCol, minJaccard),
+      append = (idx, batch) => TextOps.minhashIndexAppend(idx, batch,
+        idCol, textCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
+  /** [[incrementalDedupSink]] for the EMBEDDING modality: each
+    * micro-batch near-dedups against the persisted
+    * [[graft.operators.Similarity.SrpIndex]] (cosine ≥ threshold
+    * within an SRP bucket) and folds in, same versioned/marker
+    * protocol and crash story. */
+  def srpIncrementalDedupSink(indexDir: String, pairsDir: String,
+      idCol: String, vecCol: String, dim: Int, numPlanes: Int,
+      threshold: Double,
+      writerId: String = "default"): (DataFrame, Long) => Unit = {
+    import graft.operators.Similarity
+    versionedIndexSink[Similarity.SrpIndex](indexDir, pairsDir,
+      writerId,
+      emptyOf = batch => Similarity.srpIndex(batch.limit(0),
+        idCol, vecCol, dim, numPlanes),
+      load = (spark, dir) => Similarity.loadSrpIndex(spark, dir),
+      dedup = (idx, batch) => Similarity.srpNearDupIncremental(idx,
+        batch, idCol, vecCol, threshold),
+      append = (idx, batch) => Similarity.srpIndexAppend(idx, batch,
+        idCol, vecCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
+  /** [[incrementalDedupSink]] for the IMAGE modality: each
+    * micro-batch near-dedups against the persisted
+    * [[graft.operators.ImageOps.DhashIndex]] (Hamming ≤ maxHamming
+    * via banded dHash values) and folds in, same versioned/marker
+    * protocol and crash story. */
+  def dhashIncrementalDedupSink(indexDir: String, pairsDir: String,
+      idCol: String, dhCol: String, bands: Int, bitsPerBand: Int,
+      maxHamming: Int,
+      writerId: String = "default"): (DataFrame, Long) => Unit = {
+    import graft.operators.ImageOps
+    versionedIndexSink[ImageOps.DhashIndex](indexDir, pairsDir,
+      writerId,
+      emptyOf = batch => ImageOps.dhashIndex(batch.limit(0),
+        idCol, dhCol, bands, bitsPerBand),
+      load = (spark, dir) => ImageOps.loadDhashIndex(spark, dir),
+      dedup = (idx, batch) => ImageOps.dhashNearDupIncremental(idx,
+        batch, idCol, dhCol, maxHamming),
+      append = (idx, batch) => ImageOps.dhashIndexAppend(idx, batch,
+        idCol, dhCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
+  /** The modality-agnostic versioned-index foreachBatch protocol the
+    * three sinks share (docstring on [[incrementalDedupSink]]):
+    * dedup the batch against the latest MARKED index version, write
+    * the batch's pairs to a batch-deterministic overwrite path, save
+    * the grown index as the next version, then publish the
+    * writer-scoped marker LAST by atomic rename. */
+  private def versionedIndexSink[I](indexDir: String, pairsDir: String,
+      writerId: String,
+      emptyOf: DataFrame => I,
+      load: (org.apache.spark.sql.SparkSession, String) => I,
+      dedup: (I, DataFrame) => DataFrame,
+      append: (I, DataFrame) => I,
+      save: (I, String) => Unit): (DataFrame, Long) => Unit = {
     import scala.jdk.CollectionConverters._
     require(!writerId.contains('/') && !writerId.contains('-'),
       s"writerId '$writerId' must not contain '/' or '-' " +
@@ -102,18 +171,14 @@ object DocStream {
           finally s.close()
         }
         val idx = maxSeq match {
-          case None => TextOps.minhashIndex(batch.limit(0),
-            idCol, textCol, numHashes, numBands)
-          case Some(sq) => TextOps.loadMinhashIndex(spark,
-            s"$indexDir/v$sq")
+          case None => emptyOf(batch)
+          case Some(sq) => load(spark, s"$indexDir/v$sq")
         }
-        TextOps.minhashDedupIncremental(idx, batch, idCol, textCol,
-          minJaccard)
+        dedup(idx, batch)
           .write.mode("overwrite")
           .parquet(s"$pairsDir/$writerId-batch-$batchId")
         val seq = maxSeq.getOrElse(0L) + 1
-        TextOps.minhashIndexAppend(idx, batch, idCol, textCol)
-          .save(s"$indexDir/v$seq")
+        save(append(idx, batch), s"$indexDir/v$seq")
         // marker LAST, atomically: content = the published seq
         val tmp = base.resolve(s".done-$writerId-$batchId.tmp")
         java.nio.file.Files.writeString(tmp, seq.toString)

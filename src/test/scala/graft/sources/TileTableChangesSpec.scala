@@ -105,6 +105,59 @@ class TileTableChangesSpec extends SparkSpec {
     assert(f.keySet == m.keySet)
     for (fid <- f.keySet)
       assert(f(fid) == m(fid), s"fid $fid: full=${f(fid)} merged=${m(fid)}")
+
+    // the DRIVER-SIDE fold (what runIncremental actually executes)
+    // is bit-identical to the Spark agg
+    val local = ZonalStats.fidStatsFrame(spark,
+      ZonalStats.mergeFidStatsLocal(
+        ZonalStats.collectFidStats(north),
+        ZonalStats.collectFidStats(south)))
+    val l = key(local)
+    assert(l.keySet == f.keySet)
+    for (fid <- f.keySet)
+      assert(l(fid) == f(fid), s"fid $fid: full=${f(fid)} local=${l(fid)}")
+    graft.engine.Caches.drain(spark)
+  }
+
+  test("retractFidStatsLocal matches the Spark retractFidStats row " +
+      "for row, including the min/max recompute flag and zero-drop") {
+    import spark.implicits._
+    // hand-built stats exercising every branch: plain subtract,
+    // extreme-witness retraction (flag), full retraction (drop),
+    // all-nodata remainder (sentinel reset), untouched fid
+    val cur = Seq(
+      (1L, 10L, 2L, 1.0, 9.0, 40.0, 250.0),   // plain subtract
+      (2L, 5L, 0L, 2.0, 8.0, 25.0, 145.0),    // retract touches max
+      (3L, 4L, 1L, 3.0, 3.0, 9.0, 27.0),      // fully removed
+      (4L, 6L, 3L, 5.0, 7.0, 18.0, 110.0),    // remainder all-nodata
+      (5L, 2L, 0L, 1.5, 2.5, 4.0, 8.5))       // untouched
+      .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+    val removed = Seq(
+      (1L, 3L, 1L, 2.0, 8.0, 10.0, 68.0),
+      (2L, 2L, 0L, 4.0, 8.0, 12.0, 80.0),     // r_mx >= mx → flag
+      (3L, 4L, 1L, 3.0, 3.0, 9.0, 27.0),
+      (4L, 3L, 0L, 5.0, 7.0, 18.0, 110.0))    // leaves 3 nodata-only
+      .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
+    val sparkSide = ZonalStats.retractFidStats(cur, removed)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+    val (safe, unsafe) = ZonalStats.retractFidStatsLocal(
+      ZonalStats.collectFidStats(cur),
+      ZonalStats.collectFidStats(removed))
+    // same survivors: spark keeps flagged rows inline, local splits
+    // them out — together they must agree exactly
+    assert(unsafe == sparkSide.filter(_._2._7).keySet)
+    val safeMap = safe.map(r => r.fid ->
+      (r.cnt, r.nodata, r.mn, r.mx, r.sum, r.sumsq)).toMap
+    val sparkSafe = sparkSide.filterNot(_._2._7).map { case (f, t) =>
+      f -> (t._1, t._2, t._3, t._4, t._5, t._6) }
+    assert(safeMap == sparkSafe,
+      s"local=$safeMap\nspark=$sparkSafe")
+    assert(!safeMap.contains(3L), "fully-removed fid must drop")
+    assert(safeMap(4L)._3.isPosInfinity && safeMap(4L)._4.isNegInfinity,
+      "all-nodata remainder must reset extremes to sentinels")
+    assert(unsafe == Set(2L))
     graft.engine.Caches.drain(spark)
   }
 

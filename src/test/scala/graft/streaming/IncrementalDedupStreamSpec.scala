@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.operators.TextOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.{Files, Paths}
 
@@ -128,6 +129,111 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     val b = pairSet(TextOps.minhashDedupIncremental(loaded, batch,
       "doc_id", "text", MinJ))
     assert(a == b && a.nonEmpty)
+    graft.engine.Caches.drain(spark)
+  }
+
+  // ---- EMBEDDING modality (SRP index) ----
+
+  /** 12 deterministic 8-dim vectors in 3 tight cosine clusters + 3
+    * isolated — near-dup structure a stream must rediscover. */
+  private def vecRows: Seq[(Long, Array[Float])] = {
+    def v(base: Array[Float], eps: Float, k: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 3 == k % 3) eps else -eps) }
+    val a = Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val b = Array(-5f, 4f, -3f, 2f, -1f, 2f, -3f, 4f)
+    val c = Array(9f, -1f, 1f, -9f, 3f, -3f, 5f, -5f)
+    Seq(
+      1L -> a, 2L -> v(a, 0.01f, 1), 3L -> v(a, 0.02f, 2),
+      4L -> b, 5L -> v(b, 0.01f, 1),
+      6L -> c, 7L -> v(c, 0.015f, 2), 8L -> v(c, 0.03f, 1),
+      9L -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      10L -> Array(0f, 1f, -1f, 0f, 2f, 0f, -2f, 0f),
+      11L -> Array(3f, 3f, -3f, -3f, 3f, 3f, -3f, -3f),
+      12L -> v(a, 0.025f, 0))
+  }
+
+  private def srpPairSet(df: DataFrame) =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("embedding sink accumulates the full-corpus SRP dedup; " +
+      "replay no-op; final index equals a from-scratch rebuild") {
+    import graft.operators.Similarity
+    val work = Files.createTempDirectory("graft-srp-stream").toString
+    val (dim, planes, thr) = (8, 8, 0.999)
+    val sink = DocStream.srpIncrementalDedupSink(s"$work/index",
+      s"$work/pairs", "id", "vec", dim, planes, thr)
+    val all = vecRows.toDF("id", "vec")
+    val batches = vecRows.grouped(5).toSeq.zipWithIndex
+      .map { case (b, i) => (b.toDF("id", "vec"), i.toLong) }
+    batches.foreach { case (df, id) => sink(df, id) }
+    def got() = srpPairSet(spark.read.parquet(s"$work/pairs/*-batch-*"))
+    val expected = srpPairSet(Similarity.srpNearDupPairs(all, "id",
+      "vec", dim, planes, thr))
+    assert(got() == expected && expected.nonEmpty,
+      s"stream=${got()}\nfull=$expected")
+    sink(batches(1)._1, 1L) // replay
+    assert(got() == expected, "replay changed the pair log")
+    val lastSeq = Files.readString(Paths.get(s"$work/index",
+      s"done-default-${batches.last._2}")).trim.toLong
+    val idx = Similarity.loadSrpIndex(spark, s"$work/index/v$lastSeq")
+    val scratch = Similarity.srpIndex(all, "id", "vec", dim, planes)
+    assert(idx.dim == dim && idx.numPlanes == planes)
+    def rows(df: DataFrame) = df.select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(idx.vectors) == rows(scratch.vectors))
+    graft.engine.Caches.drain(spark)
+  }
+
+  // ---- IMAGE modality (dHash index) ----
+
+  private val dhRows: Seq[(Long, Long)] = Seq(
+    1L -> 0x0123456789abcdefL,
+    2L -> 0x0123456789abcdefL,          // exact dup of 1
+    3L -> 0x0123456789abcdecL,          // hamming 2 from 1
+    4L -> 0x7777000011112222L,
+    5L -> 0x7777000011112223L,          // hamming 1 from 4
+    6L -> 0x5a5a5a5a5a5a5a5aL,
+    7L -> -1L,
+    8L -> 0x0123456789abcd0fL,          // hamming 3+ from 1
+    9L -> 0x7777000011113222L,          // hamming 2 from 4
+    10L -> 0L)
+
+  test("image sink accumulates the full-corpus dHash dedup; replay " +
+      "no-op; final index equals a from-scratch rebuild") {
+    import graft.operators.ImageOps
+    val work = Files.createTempDirectory("graft-dh-stream").toString
+    val (bands, bpb, maxH) = (4, 16, 2)
+    val sink = DocStream.dhashIncrementalDedupSink(s"$work/index",
+      s"$work/pairs", "id", "dh", bands, bpb, maxH)
+    val all = dhRows.toDF("id", "dh")
+    val batches = dhRows.grouped(4).toSeq.zipWithIndex
+      .map { case (b, i) => (b.toDF("id", "dh"), i.toLong) }
+    batches.foreach { case (df, id) => sink(df, id) }
+    def got() = spark.read.parquet(s"$work/pairs/*-batch-*")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = ImageOps.dhashNearDupPairs(all, "id", "dh",
+      bands, bpb, maxH)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got() == expected && expected.nonEmpty,
+      s"stream=${got()}\nfull=$expected")
+    sink(batches(0)._1, 0L) // replay
+    assert(got() == expected, "replay changed the pair log")
+    val lastSeq = Files.readString(Paths.get(s"$work/index",
+      s"done-default-${batches.last._2}")).trim.toLong
+    val idx = ImageOps.loadDhashIndex(spark, s"$work/index/v$lastSeq")
+    val scratch = ImageOps.dhashIndex(all, "id", "dh", bands, bpb)
+    assert(idx.bands == bands && idx.bitsPerBand == bpb)
+    def members(df: DataFrame) = df.select("id", "dh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def vb(df: DataFrame) = df.select(col("dh"), col("key.band"),
+      col("key.bits")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(members(idx.members) == members(scratch.members))
+    assert(vb(idx.valueBands) == vb(scratch.valueBands))
     graft.engine.Caches.drain(spark)
   }
 }
