@@ -417,9 +417,14 @@ object Checkpoints {
     * (the chunk-stats convention). Dimension-sized by the engine's
     * zones-are-broadcastable assumption, hence driver-side. */
   def writeFidStatsSidecar(path: String, fidStats: org.apache.spark.sql
-      .DataFrame, version: Int): Unit = {
+      .DataFrame, version: Int, manifestFp: String = ""): Unit = {
     val o = mapper.createObjectNode()
     o.put("version", version)
+    // identity of the manifest version the stats describe — a table
+    // recreated at the same path restarts version numbers, and
+    // folding a NEW table's CDC window into an OLD table's stats
+    // must fail closed (readers compare this against the live chain)
+    o.put("manifest_fp", manifestFp)
     val arr = o.putArray("fids")
     fidStats.select("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq")
       .collect().sortBy(_.getLong(0)).foreach { r =>
@@ -441,15 +446,17 @@ object Checkpoints {
   }
 
   /** Reload a [[writeFidStatsSidecar]] file → (stats frame, table
-    * version); None when absent/unreadable. */
-  def readFidStatsSidecar(spark: SparkSession,
-      path: String): Option[(org.apache.spark.sql.DataFrame, Int)] = {
+    * version, manifest fingerprint at write time); None when
+    * absent/unreadable. */
+  def readFidStatsSidecar(spark: SparkSession, path: String)
+      : Option[(org.apache.spark.sql.DataFrame, Int, String)] = {
     import spark.implicits._
     val p = Paths.get(path)
     if (!Files.exists(p)) None
     else try {
       val j = mapper.readTree(Files.readString(p))
       val v = j.get("version").asInt()
+      val fp = Option(j.get("manifest_fp")).map(_.asText()).getOrElse("")
       val rows = scala.collection.mutable
         .ArrayBuffer.empty[(Long, Long, Long, Double, Double, Double,
           Double)]
@@ -462,7 +469,7 @@ object Checkpoints {
           java.lang.Double.longBitsToDouble(n.get("sumsq").asLong())))
       }
       Some((rows.toSeq
-        .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq"), v))
+        .toDF("fid", "cnt", "nodata", "mn", "mx", "sum", "sumsq"), v, fp))
     } catch { case _: Exception => None }
   }
 

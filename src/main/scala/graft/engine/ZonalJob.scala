@@ -45,18 +45,33 @@ object ZonalJob {
     // the raster. Falls back to the full path loudly when the window
     // has aged out of vacuum retention or crossed an untagged rewrite.
     val sidecar = ckptDir.map(d => s"$d/fidstats.json")
+    def headFp: String = graft.sources.TileTable
+      .manifestFingerprint(table.root, table.version).getOrElse("")
     val incremental: Option[org.apache.spark.sql.DataFrame] =
       if (percentiles.nonEmpty) None
       else sidecar.flatMap(sc =>
         Checkpoints.readFidStatsSidecar(spark, sc).flatMap {
-          case (prev, v0) =>
-            try {
+          case (prev, v0, savedFp) =>
+            // identity gate: version numbers restart when a table is
+            // deleted and re-created at the same path, so v0 alone
+            // does not prove the sidecar describes THIS table's
+            // history — the manifest content at v0 must still hash to
+            // what it hashed when the stats were saved
+            val liveFp = graft.sources.TileTable
+              .manifestFingerprint(table.root, v0)
+            if (savedFp.isEmpty || !liveFp.contains(savedFp)) {
+              System.err.println(s"[graft] ZonalJob: sidecar $sc " +
+                s"does not match manifest v$v0 of ${table.root} " +
+                "(table recreated or sidecar from another chain); " +
+                "recomputing in full")
+              None
+            } else try {
               val cs = graft.sources.TileTable
                 .changedSets(table.root, v0, table.version)
               val res = ZonalEngine.runIncremental(spark, table, zones,
                 prev, fromVersion = v0, lastWins = true, band = band,
                 mergedStatsSink = Some(m => Checkpoints
-                  .writeFidStatsSidecar(sc, m, table.version)))
+                  .writeFidStatsSidecar(sc, m, table.version, headFp)))
               // job-observable lineage: what the increment scanned
               ckptDir.foreach(d => writeIncrMarker(d, v0, table.version,
                 cs.added.size, cs.removals.size))
@@ -71,6 +86,12 @@ object ZonalJob {
                 None
             }
         })
+    // a full (non-incremental) run invalidates any earlier
+    // incremental lineage marker — incrMarker means "the LAST run
+    // folded a CDC window", not "some run once did"
+    if (incremental.isEmpty)
+      ckptDir.foreach(d => Files.deleteIfExists(
+        Paths.get(d, "incr-applied.json")))
     val df = incremental.getOrElse(ckptDir match {
       case Some(dir) =>
         Checkpoints.resumableZonalStats(spark, table, zones, dir,
@@ -79,7 +100,8 @@ object ZonalJob {
           fidStatsSink =
             if (percentiles.nonEmpty) None
             else sidecar.map(sc => (m: org.apache.spark.sql.DataFrame) =>
-              Checkpoints.writeFidStatsSidecar(sc, m, table.version)))
+              Checkpoints.writeFidStatsSidecar(sc, m, table.version,
+                headFp)))
       case None =>
         ZonalEngine.run(spark,
           table.readPruned(spark, Zone.totalEnvelope(zones), band),

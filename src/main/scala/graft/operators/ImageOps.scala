@@ -171,16 +171,11 @@ object ImageOps {
   }
 
   def loadDhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DhashIndex = {
-    val p = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "params.json")))
-    def intOf(k: String): Int =
-      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(p)
-        .getOrElse(sys.error(s"$dir/params.json lacks $k")).group(1).toInt
+      dir: String): DhashIndex =
     DhashIndex(spark.read.parquet(s"$dir/members"),
       spark.read.parquet(s"$dir/valueBands"),
-      intOf("bands"), intOf("bitsPerBand"))
-  }
+      IndexParams.intOf(dir, "bands"),
+      IndexParams.intOf(dir, "bitsPerBand"))
 
   def dhashIndex(df: DataFrame, idCol: String, dhCol: String,
       bands: Int, bitsPerBand: Int): DhashIndex = {

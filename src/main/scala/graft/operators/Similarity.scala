@@ -101,15 +101,9 @@ object Similarity {
   }
 
   def loadSrpIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SrpIndex = {
-    val p = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "params.json")))
-    def intOf(k: String): Int =
-      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(p)
-        .getOrElse(sys.error(s"$dir/params.json lacks $k")).group(1).toInt
+      dir: String): SrpIndex =
     SrpIndex(spark.read.parquet(s"$dir/vectors"),
-      intOf("dim"), intOf("numPlanes"))
-  }
+      IndexParams.intOf(dir, "dim"), IndexParams.intOf(dir, "numPlanes"))
 
   def srpIndex(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numPlanes: Int): SrpIndex =

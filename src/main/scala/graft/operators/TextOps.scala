@@ -541,18 +541,12 @@ object TextOps {
 
   /** Reload a [[MinhashIndex]] persisted by [[MinhashIndex.save]]. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): MinhashIndex = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "params.json"))
-    def intOf(k: String): Int =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
-        .getOrElse(sys.error(s"$dir/params.json missing $k"))
-        .group(1).toInt
+      dir: String): MinhashIndex =
     MinhashIndex(spark.read.parquet(s"$dir/members"),
       spark.read.parquet(s"$dir/repToks"),
       spark.read.parquet(s"$dir/repBands"),
-      intOf("numHashes"), intOf("numBands"))
-  }
+      IndexParams.intOf(dir, "numHashes"),
+      IndexParams.intOf(dir, "numBands"))
 
   /** Build the [[MinhashIndex]] of a corpus (one pass: content
     * collapse, per-representative signatures, banding). Frames are

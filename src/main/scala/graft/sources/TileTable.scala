@@ -853,8 +853,16 @@ object TileTable {
             else {
               val keyCols = Seq(col("_gf").as("file"), col("image_id")) ++
                 (if (multiBand) Seq(col("band")) else Nil)
+              // anti-join, not isInCollection: a broad retention
+              // delete can fully match 10^5+ files, and inlining
+              // every dropped path into one In expression balloons
+              // the plan; a broadcast anti-join against the
+              // driver-built path list is the applyTombstones shape
+              import spark.implicits._
+              val droppedDf = dropped.toSeq.toDF("_gf")
               val keys = live.where(cond)
-                .where(!col("_gf").isInCollection(dropped))
+                .join(org.apache.spark.sql.functions
+                  .broadcast(droppedDf), Seq("_gf"), "left_anti")
                 .select(keyCols: _*).distinct()
               val rel = s"del/tombstone-" +
                 java.util.UUID.randomUUID().toString.take(12)
@@ -1218,6 +1226,18 @@ object TileTable {
       segs: Seq[SegmentRef], op: Option[String],
       deletes: Seq[DeleteFileRef])
 
+  /** Content fingerprint of one manifest head version — the cheap
+    * identity check for "does version v in TODAY's chain describe the
+    * same commit my saved state was computed from?". A table deleted
+    * and re-created at the same path restarts version numbering at 1,
+    * so a bare version number is NOT an identity; saved incremental
+    * state (ZonalJob's per-FID sidecar) validates this fingerprint
+    * before folding a CDC window into old stats. None: version
+    * unreadable (vacuumed away or never existed). */
+  def manifestFingerprint(root: String, version: Int): Option[String] =
+    store(root).readString(manifestRel(version)).map(txt =>
+      f"${graft.functions.XXHash64.hashString(txt, 11L)}%016x")
+
   private def headParts(root: String, version: Int): Option[HeadParts] =
     store(root).readString(manifestRel(version)).map { txt =>
       val j = mapper.readTree(txt)
@@ -1356,13 +1376,17 @@ object TileTable {
   def readChangesWithRemovals(spark: SparkSession, root: String,
       fromVersion: Int, toVersion: Int): (DataFrame, Option[DataFrame]) = {
     val cs = changedSets(root, fromVersion, toVersion)
-    def emptyLike = open(root).read(spark).limit(0)
+    val t = open(root)
+    def emptyLike = t.read(spark).limit(0)
+    // scanRaw, not bare spark.read.parquet: the added frame must
+    // carry the TABLE's schema (evolution defaults) exactly like
+    // readChanges and the removed side — footer inference from a
+    // pre-evolution file would silently drop evolved columns
     val added =
       if (cs.added.isEmpty) emptyLike
-      else spark.read.parquet(cs.added.map(f => s"$root/${f.path}"): _*)
+      else t.scanRaw(spark, cs.added.map(_.path))
     if (!cs.hasRemovals) (added, None)
     else {
-      val t = open(root)
       val frames = cs.removals.flatMap { step =>
         val droppedRows =
           if (step.droppedFiles.isEmpty) None
@@ -1463,9 +1487,18 @@ object TileTable {
     // parquet is gone. (Whether pre-compact generations exist at all
     // is compact(keepOld)'s call; vacuum just never widows a
     // readable manifest.)
-    val referenced = versions(root).iterator
-      .flatMap(v => headFilePaths(root, v))
-      .map(parentDir).toSet
+    // ONE metadata pass over the retained heads: every GC rule below
+    // (data dirs, segments, tombstones) derives from the same parsed
+    // HeadParts — re-reading each head per rule would triple the
+    // store round-trips on a deep time-travel window
+    val liveHeads: Seq[HeadParts] = (0 to currentVersion(root))
+      .flatMap(v => headParts(root, v))
+    val referenced = liveHeads.iterator.flatMap { hp =>
+      hp.files.map(_.path) ++ hp.segs.flatMap { ref =>
+        try loadSegment(root, ref).map(_.path)
+        catch { case _: java.nio.file.NoSuchFileException => Nil }
+      }
+    }.map(parentDir).toSet
     val removable = listDataPlaneDirs(root, "")
       .filter { case (_, mtime) => mtime < cutoff }
       .map(_._1)
@@ -1479,10 +1512,7 @@ object TileTable {
     // head hasn't landed yet.
     val segNames = st.list(SegDir).filter(_.startsWith("segment-"))
     if (segNames.nonEmpty) {
-      val liveVersions = (0 to currentVersion(root))
-        .filter(v => st.mtimeMs(manifestRel(v)).isDefined)
-      val referencedSegs = liveVersions
-        .flatMap(v => headSegments(root, v)).map(_.path).toSet
+      val referencedSegs = liveHeads.flatMap(_.segs).map(_.path).toSet
       segNames
         .filter(n => !referencedSegs.contains(s"$SegDir/$n"))
         .filter(n => st.mtimeMs(s"$SegDir/$n").exists(_ < cutoff))
@@ -1492,9 +1522,7 @@ object TileTable {
     // once NO readable manifest version references it — compacted-away
     // tombstones and losers of delete-commit races. Grace window
     // protects an in-flight deleteWhere whose head hasn't landed.
-    val referencedDels = versions(root).iterator
-      .flatMap(v => headParts(root, v).map(_.deletes.map(_.path))
-        .getOrElse(Nil)).toSet
+    val referencedDels = liveHeads.flatMap(_.deletes.map(_.path)).toSet
     listDataPlaneDirs(root, "del")
       .filter { case (n, mtime) =>
         !referencedDels.contains(s"del/$n") && mtime < cutoff

@@ -147,13 +147,34 @@ object DocStream {
       append: (I, DataFrame) => I,
       save: (I, String) => Unit): (DataFrame, Long) => Unit = {
     import scala.jdk.CollectionConverters._
-    require(!writerId.contains('/') && !writerId.contains('-'),
-      s"writerId '$writerId' must not contain '/' or '-' " +
-        "(it is embedded in marker and path names)")
+    // '-' is allowed (streaming query ids are UUIDs — the documented
+    // writerId source): markers are matched by EXACT filename and the
+    // published seq is read from marker CONTENT, never parsed out of
+    // the name. Only the path separator and the pair-glob delimiter
+    // are reserved.
+    require(!writerId.contains('/') && !writerId.contains("-batch-"),
+      s"writerId '$writerId' must not contain '/' or the reserved " +
+        "substring '-batch-' (pair logs are read by the " +
+        "'*-batch-*' glob)")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val base = java.nio.file.Paths.get(indexDir)
       java.nio.file.Files.createDirectories(base)
+      // fail CLOSED on pre-writer-scoped state (markers named
+      // 'batch-<id>.done'): its versions are invisible to this
+      // protocol, so continuing would silently dedup against an
+      // EMPTY corpus and forget every indexed document
+      val legacy = {
+        val s = java.nio.file.Files.list(base)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .find(n => n.startsWith("batch-") && n.endsWith(".done"))
+        finally s.close()
+      }
+      require(legacy.isEmpty,
+        s"$indexDir holds pre-writer-scoped dedup state " +
+          s"('${legacy.get}'): rebuild the index (re-feed the corpus " +
+          "through this sink into a fresh indexDir) — silently " +
+          "starting an empty chain would forget the indexed corpus")
       val marker = base.resolve(s"done-$writerId-$batchId")
       if (java.nio.file.Files.exists(marker))
         () // replayed (writer, batch): already applied, emit nothing

@@ -207,6 +207,50 @@ class JobCsvSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  test("a raster recreated at the same path invalidates the sidecar " +
+      "(manifest fingerprint gate): the rerun recomputes in full " +
+      "instead of folding the old table's stats") {
+    val work = Files.createTempDirectory("graft-job-recreate")
+    val tr = org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("image_id"),
+      "tile_(\\d+)_(\\d+)", 1).cast("int")
+    import org.apache.spark.sql.functions.lit
+    val vecDir = Files.createDirectory(work.resolve("vec"))
+    ZoneStore.write(spark, Fixtures.zonesBasic(grid), "grp_field",
+      s"$vecDir/zones.parquet")
+    def mkJob(wd: String, out: String) = Config.JobSpec(
+      tag = "t1", aggVector = s"$vecDir/zones.parquet",
+      aggLayer = "zones", aggField = "grp_field",
+      rasterPaths = Seq(s"$work/rasterR"),
+      operations = Seq("avg", "valid_count"),
+      rowColOrder = "agg_field,base_raster", workdir = s"$work/$wd",
+      outputCsv = s"$work/$out")
+    // incarnation 1: variant-0 data, run → sidecar at v1
+    TileTable.write(spark, Synth.tiles(spark, grid, "raw", 0), grid,
+      Some(-9999.0), s"$work/rasterR", cellLevel = 8, numFiles = 4)
+    val job = mkJob("wd", "out.csv")
+    ZonalJob.run(spark, job, None)
+    val ckpt = ZonalJob.ckptDirFor(job, s"$work/rasterR")
+    assert(Files.exists(Paths.get(ckpt, "fidstats.json")))
+    // the table is deleted and REBUILT at the same path with
+    // DIFFERENT pixels (variant 1) — version numbering restarts, so
+    // the stale sidecar's v1 "exists" in the new chain but describes
+    // the old table
+    Checkpoints.deleteRecursively(Paths.get(s"$work/rasterR"))
+    TileTable.write(spark, Synth.tiles(spark, grid, "raw", 1), grid,
+      Some(-9999.0), s"$work/rasterR", cellLevel = 8, numFiles = 4)
+    TileTable.appendBatch(spark, s"$work/rasterR",
+      Synth.tiles(spark, grid, "raw", 1).limit(0), batchId = 1L)
+    val csv = Files.readString(Paths.get(ZonalJob.run(spark, job, None)))
+    assert(ZonalJob.incrMarker(ckpt).isEmpty,
+      "recreated table must NOT fold incrementally from a stale sidecar")
+    val fresh = Files.readString(Paths.get(
+      ZonalJob.run(spark, mkJob("wdF", "outF.csv"), None)))
+    assert(csv === fresh,
+      "post-recreation run diverged from a from-scratch run")
+    graft.engine.Caches.drain(spark)
+  }
+
   test("job on a multi-band table addresses band 1 only (reference " +
       "(path, 1) semantics)") {
     val work = Files.createTempDirectory("graft-job-mb")

@@ -526,10 +526,20 @@ class TileTableCommitSpec extends SparkSpec {
       // the folded tombstone files were retired with their heads
       val delLeft = {
         val p = Paths.get(dir, "del")
-        if (!Files.isDirectory(p)) 0L
-        else { val s = Files.list(p); try s.count() finally s.close() }
+        if (!Files.isDirectory(p)) Nil
+        else {
+          val s = Files.list(p)
+          try { import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(q =>
+              s"${q.getFileName} mtime=${Files.getLastModifiedTime(q)
+                .toMillis}").toList }
+          finally s.close()
+        }
       }
-      assert(delLeft === 0L, "compacted-away tombstones survived vacuum")
+      assert(delLeft.isEmpty,
+        s"compacted-away tombstones survived vacuum: $delLeft " +
+          s"(now=${System.currentTimeMillis()}, heads=${store.keys
+            .filter(_.startsWith("manifest-v"))})")
     }
   }
 
