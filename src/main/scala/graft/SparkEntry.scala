@@ -80,6 +80,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, sf) => DQ.ngramJaccard(s, sf)),
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
     "q_minhash_incr" -> ((s, sf) => DQ.minhashIncr(s, sf)),
+    "q_minhash_takedown" -> ((s, sf) => DQ.minhashTakedown(s, sf)),
     "q_minhash_clusters" -> ((s, sf) => DQ.minhashClusters(s, sf)),
     "q_sig_groups" -> ((s, sf) => DQ.sigGroups(s, sf)),
     "q_stream_sigdedup" -> ((s, sf) => DQ.streamSigDedup(s, sf)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> DQ.ngramJaccardSql,
     "q_minhash_lsh" -> DQ.minhashLshSql,
     "q_minhash_incr" -> DQ.minhashIncrSql,
+    "q_minhash_takedown" -> DQ.minhashTakedownSql,
     "q_minhash_clusters" -> DQ.minhashClustersSql,
     "q_sig_groups" -> DQ.sigGroupsSql,
     "q_stream_sigdedup" -> DQ.streamSigDedupSql,

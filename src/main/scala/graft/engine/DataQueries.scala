@@ -321,6 +321,33 @@ SELECT * FROM (
   val minhashIncrSql: String =
     minhashLshSql + " AND (id_a % 5 = 4 OR id_b % 5 = 4)"
 
+  /** Takedown-aware incremental near-dedup: the % 5 != 4 corpus is
+    * indexed, a takedown removes its % 7 == 3 docs from the INDEX
+    * ([[TextOps.minhashIndexRemove]] — rep promotion and emptied-group
+    * cleanup included), and the % 5 == 4 batch dedups against the
+    * reduced index. Must equal full LSH dedup over (corpus minus
+    * takedown) ∪ batch filtered to batch-touching pairs — the oracle
+    * recomputes exactly that from the filtered documents table, so
+    * the remove-equals-rebuild promise is DuckDB-pinned, not just
+    * spec-pinned. */
+  def minhashTakedown(spark: SparkSession, sf: String): DataFrame = {
+    val docs = t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val removed = corpus.where(col("doc_id") % 7 === 3).select("doc_id")
+    val idx = TextOps.minhashIndexRemove(
+      TextOps.minhashIndex(corpus, "doc_id", "text",
+        MinHashNum, MinHashBands),
+      removed, "doc_id")
+    TextOps.minhashDedupIncremental(idx, batch, "doc_id", "text",
+      MinHashJaccard)
+  }
+
+  val minhashTakedownSql: String =
+    minhashLshSql.replace("FROM documents",
+      "FROM documents WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 = 3)") +
+      " AND (id_a % 5 = 4 OR id_b % 5 = 4)"
+
   // ---- per-row signature groups (streaming-collapse key, batch-checked) ----
 
   /** Signature GROUPS over the corpus using the PER-ROW signature

@@ -206,6 +206,27 @@ object ImageOps {
       index.bands, index.bitsPerBand)
   }
 
+  /** The index after REMOVING images (takedowns): members drop by
+    * anti-join; a hash VALUE leaves the band index only when its last
+    * member went (the value-level state mirrors the value-level
+    * collapse). Only values the takedown touched are checked —
+    * O(affected), not O(corpus). Equals [[dhashIndex]] over the
+    * reduced corpus (IndexRemoveSpec). Unknown ids are no-ops. */
+  def dhashIndexRemove(index: DhashIndex, removeIds: DataFrame,
+      idCol: String): DhashIndex = {
+    val ids = removeIds.select(col(idCol).as("id")).distinct()
+    val members2 = index.members.join(broadcast(ids), Seq("id"),
+      "left_anti")
+    val touchedVals = index.members.join(broadcast(ids), Seq("id"))
+      .select("dh").distinct()
+    // touched values with NO surviving member are dead
+    val deadVals = broadcast(touchedVals)
+      .join(members2, Seq("dh"), "left_anti")
+    DhashIndex(members2,
+      index.valueBands.join(broadcast(deadVals), Seq("dh"), "left_anti"),
+      index.bands, index.bitsPerBand)
+  }
+
   /** Incremental perceptual dedup: all pairs within Hamming <=
     * maxHamming involving a batch image, given the corpus
     * [[DhashIndex]] — value-identical to [[dhashNearDupPairs]] over

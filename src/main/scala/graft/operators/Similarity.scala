@@ -120,6 +120,16 @@ object Similarity {
       srpIndex(newDf, idCol, vecCol, index.dim, index.numPlanes)
         .vectors))
 
+  /** The index after REMOVING vectors (takedowns): one broadcast
+    * anti-join — vectors are indexed per-id with no shared state, so
+    * removal is exact and equals [[srpIndex]] over the reduced
+    * corpus. Unknown ids are no-ops. */
+  def srpIndexRemove(index: SrpIndex, removeIds: DataFrame,
+      idCol: String): SrpIndex =
+    index.copy(vectors = index.vectors.join(
+      broadcast(removeIds.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti"))
+
   /** Incremental SRP near-dedup: all cosine >= threshold pairs
     * sharing an SRP bucket that INVOLVE a batch vector, given the
     * corpus [[srpIndex]] — value-identical to [[srpNearDupPairs]]

@@ -620,6 +620,50 @@ object TextOps {
       repBands = index.repBands.unionByName(freshBands))
   }
 
+  /** The index after REMOVING documents (takedowns — the dedup-layer
+    * analogue of the tile table's row-level delete): surviving
+    * members of a group whose representative was taken down promote
+    * the minimum surviving id, which INHERITS the old rep's token set
+    * and band keys (every member of a content group has the IDENTICAL
+    * token set — that is what the group means — so signatures and
+    * bands carry over exactly); groups emptied by the takedown leave
+    * the band index entirely. On a from-scratch index the result
+    * equals [[minhashIndex]] over the reduced corpus frame-for-frame
+    * (IndexRemoveSpec pins it); nothing is re-tokenized or
+    * re-signatured, and only the takedown's own groups are touched —
+    * O(affected), not O(corpus). Unknown ids are no-ops. */
+  def minhashIndexRemove(index: MinhashIndex, removeIds: DataFrame,
+      idCol: String): MinhashIndex = {
+    val ids = removeIds.select(col(idCol).as("id")).distinct()
+    val affected = index.members.join(broadcast(ids), Seq("id"))
+      .select("ckey").distinct()
+    val survivors = index.members.join(broadcast(ids), Seq("id"),
+      "left_anti")
+    // new representative per affected group (min surviving id — the
+    // from-scratch rule); an affected group absent here was emptied
+    val newReps = survivors.join(broadcast(affected), Seq("ckey"))
+      .groupBy("ckey").agg(min("id").as("nrid"))
+    val members2 = survivors
+      .join(broadcast(newReps), Seq("ckey"), "left")
+      .select(col("id"), col("ckey"),
+        coalesce(col("nrid"), col("rid")).as("rid"))
+    // old-rep → new-rep transition map, keyed by the old rep id
+    // (rep ids are unique across groups: a rep is a member of exactly
+    // one group). touched=true rows with null nrid mark emptied
+    // groups — their index rows drop; untouched rows pass through.
+    val trans = index.members.join(broadcast(affected), Seq("ckey"))
+      .select("ckey", "rid").distinct()
+      .join(broadcast(newReps), Seq("ckey"), "left")
+      .select(col("rid").as("id"), col("nrid"), lit(true).as("touched"))
+    def rekey(df: DataFrame, payload: String): DataFrame = df
+      .join(broadcast(trans), Seq("id"), "left")
+      .where(col("touched").isNull || col("nrid").isNotNull)
+      .select(coalesce(col("nrid"), col("id")).as("id"), col(payload))
+    index.copy(members = members2,
+      repToks = rekey(index.repToks, "toks"),
+      repBands = rekey(index.repBands, "band_key"))
+  }
+
   /** Incremental MinHash-LSH near-dedup: all verified near-dup pairs
     * (token-set Jaccard >= minJaccard, sharing an LSH band)
     * INVOLVING AT LEAST ONE document of `newDocs`, given the
