@@ -133,6 +133,70 @@ object DocStream {
       save = (idx, dir) => idx.save(dir))
   }
 
+  /** Takedown sink, TEXT modality: each micro-batch of removal
+    * requests (rows carrying `idCol`) is applied to the latest marked
+    * index version via [[graft.operators.TextOps.minhashIndexRemove]]
+    * (rep promotion + emptied-group cleanup included) and published
+    * as the next version of the SAME chain the add-sink grows — a
+    * corpus stays continuously deduped AND continuously
+    * takedown-compliant online. The applied ids land in `logDir`
+    * (one parquet per batch, overwrite semantics — keep it separate
+    * from the add-sink's pairsDir: the pair glob must not pick up
+    * removal logs). Same crash/replay story as the add sink; the
+    * one-writer-at-a-time rule covers BOTH sinks together (serialize
+    * an add stream and a takedown stream externally — e.g. route
+    * takedowns through the same foreachBatch query). */
+  def minhashTakedownSink(indexDir: String, logDir: String,
+      idCol: String, numHashes: Int, numBands: Int,
+      writerId: String = "takedown"): (DataFrame, Long) => Unit = {
+    import graft.operators.TextOps
+    versionedIndexSink[TextOps.MinhashIndex](indexDir, logDir, writerId,
+      emptyOf = batch => TextOps.minhashIndex(
+        batch.limit(0).withColumn("text",
+          org.apache.spark.sql.functions.lit(null: String)),
+        idCol, "text", numHashes, numBands),
+      load = (spark, dir) => TextOps.loadMinhashIndex(spark, dir),
+      dedup = (_, batch) => batch.select(col(idCol).as("removed_id")),
+      append = (idx, batch) => TextOps.minhashIndexRemove(idx, batch,
+        idCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
+  /** [[minhashTakedownSink]] for the EMBEDDING modality. */
+  def srpTakedownSink(indexDir: String, logDir: String, idCol: String,
+      dim: Int, numPlanes: Int,
+      writerId: String = "takedown"): (DataFrame, Long) => Unit = {
+    import graft.operators.Similarity
+    versionedIndexSink[Similarity.SrpIndex](indexDir, logDir, writerId,
+      emptyOf = batch => {
+        import batch.sparkSession.implicits._
+        Similarity.SrpIndex(Seq.empty[(Long, Array[Float], Long)]
+          .toDF("id", "v", "bucket"), dim, numPlanes)
+      },
+      load = (spark, dir) => Similarity.loadSrpIndex(spark, dir),
+      dedup = (_, batch) => batch.select(col(idCol).as("removed_id")),
+      append = (idx, batch) => Similarity.srpIndexRemove(idx, batch,
+        idCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
+  /** [[minhashTakedownSink]] for the IMAGE modality. */
+  def dhashTakedownSink(indexDir: String, logDir: String, idCol: String,
+      bands: Int, bitsPerBand: Int,
+      writerId: String = "takedown"): (DataFrame, Long) => Unit = {
+    import graft.operators.ImageOps
+    versionedIndexSink[ImageOps.DhashIndex](indexDir, logDir, writerId,
+      emptyOf = batch => ImageOps.dhashIndex(
+        batch.limit(0).withColumn("dh",
+          org.apache.spark.sql.functions.lit(0L)),
+        idCol, "dh", bands, bitsPerBand),
+      load = (spark, dir) => ImageOps.loadDhashIndex(spark, dir),
+      dedup = (_, batch) => batch.select(col(idCol).as("removed_id")),
+      append = (idx, batch) => ImageOps.dhashIndexRemove(idx, batch,
+        idCol),
+      save = (idx, dir) => idx.save(dir))
+  }
+
   /** The modality-agnostic versioned-index foreachBatch protocol the
     * three sinks share (docstring on [[incrementalDedupSink]]):
     * dedup the batch against the latest MARKED index version, write

@@ -236,4 +236,52 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(vb(idx.valueBands) == vb(scratch.valueBands))
     graft.engine.Caches.drain(spark)
   }
+
+  // ---- takedowns interleaved with adds on ONE index chain ----
+
+  test("takedown sink interleaves with the add sink on one version " +
+      "chain: final index equals a from-scratch build of the " +
+      "survivors, later batches dedup against the reduced corpus, " +
+      "takedown replay is a no-op") {
+    val work = Files.createTempDirectory("graft-td-stream").toString
+    val indexDir = s"$work/index"
+    val addSink = DocStream.incrementalDedupSink(indexDir,
+      s"$work/pairs", "doc_id", "text", NumHashes, NumBands, MinJ,
+      writerId = "adds")
+    val tdSink = DocStream.minhashTakedownSink(indexDir,
+      s"$work/takedowns", "doc_id", NumHashes, NumBands)
+    // ingest the first 5 docs, take down doc 1 (the {1,2,10} group
+    // rep at that point: {1,2} — promotion fires), ingest the rest
+    addSink(docs.take(5).toDF("doc_id", "text"), 0L)
+    tdSink(Seq(1L).toDF("doc_id"), 0L)
+    addSink(docs.drop(5).toDF("doc_id", "text"), 1L)
+    // replay of the takedown: marker present, no effect
+    tdSink(Seq(1L).toDF("doc_id"), 0L)
+    val lastSeq = Files.readString(
+      Paths.get(indexDir, "done-adds-1")).trim.toLong
+    assert(lastSeq == 3L, s"chain should be at v3, got v$lastSeq")
+    val idx = TextOps.loadMinhashIndex(spark, s"$indexDir/v$lastSeq")
+    val survivors = docs.filterNot(_._1 == 1L)
+    val scratch = TextOps.minhashIndex(survivors.toDF("doc_id", "text"),
+      "doc_id", "text", NumHashes, NumBands)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toList
+      case x => x
+    }).toSet
+    assert(rows(idx.members) == rows(scratch.members))
+    assert(rows(idx.repToks) == rows(scratch.repToks))
+    assert(rows(idx.repBands) == rows(scratch.repBands))
+    // batch 1's pairs were computed AGAINST the reduced corpus: no
+    // pair involves the removed doc
+    val p1 = spark.read.parquet(s"$work/pairs/adds-batch-1")
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!p1.contains(1L), "a pair referenced the removed doc")
+    assert(p1.nonEmpty)
+    // the takedown log records what was applied
+    val log = spark.read.parquet(s"$work/takedowns/takedown-batch-0")
+      .select("removed_id").collect().map(_.getLong(0)).toSet
+    assert(log == Set(1L))
+    graft.engine.Caches.drain(spark)
+  }
 }
