@@ -197,6 +197,47 @@ object DocStream {
       save = (idx, dir) => idx.save(dir))
   }
 
+  /** GC for a versioned index chain: retire `v<seq>` dirs older than
+    * (latest marked seq − retain + 1). The latest marked version and
+    * `retain−1` predecessors stay — a reader that resolved an older
+    * version just before new batches landed gets `graceMs` (measured
+    * from the version dir's mtime … which for an immutable published
+    * dir is its publish time) to finish streaming it. Markers are
+    * never deleted (they are the replay ledger and are tiny).
+    * Unmarked dirs ABOVE the marked head are left alone: deleting
+    * one would race an in-flight publish, and the crash-redo
+    * overwrites the same path anyway — at most one such dir can ever
+    * exist. Returns what was deleted. */
+  def vacuumIndexVersions(indexDir: String, retain: Int = 2,
+      graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    require(retain >= 1, "retain must be >= 1 (the latest version)")
+    val base = java.nio.file.Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(base)) return Nil
+    val names = {
+      val s = java.nio.file.Files.list(base)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val maxMarked = names.filter(_.startsWith("done-"))
+      .flatMap(m => scala.util.Try(java.nio.file.Files
+        .readString(base.resolve(m)).trim.toLong).toOption)
+      .maxOption.getOrElse(return Nil)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val victims = names.filter(_.startsWith("v")).flatMap { n =>
+      n.drop(1).toLongOption.map(n -> _)
+    }.filter { case (n, seq) =>
+      // retained window: the latest marked version and retain-1 back
+      seq <= maxMarked - retain &&
+        (try java.nio.file.Files.getLastModifiedTime(base.resolve(n))
+          .toMillis < cutoff
+        catch { case _: java.io.IOException => false })
+    }.map(_._1)
+    victims.foreach(n => graft.engine.Checkpoints
+      .deleteRecursively(base.resolve(n)))
+    victims.sorted
+  }
+
   /** The modality-agnostic versioned-index foreachBatch protocol the
     * three sinks share (docstring on [[incrementalDedupSink]]):
     * dedup the batch against the latest MARKED index version, write

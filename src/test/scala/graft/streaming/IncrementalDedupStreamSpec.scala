@@ -282,6 +282,22 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     val log = spark.read.parquet(s"$work/takedowns/takedown-batch-0")
       .select("removed_id").collect().map(_.getLong(0)).toSet
     assert(log == Set(1L))
+
+    // chain GC: with grace elapsed (mtimes aged manually), retain=1
+    // keeps only the marked head; markers survive; the index still
+    // loads and a NEW batch continues the chain
+    Seq("v1", "v2").foreach(v => Files.setLastModifiedTime(
+      Paths.get(indexDir, v),
+      java.nio.file.attribute.FileTime.fromMillis(1L)))
+    val gone = DocStream.vacuumIndexVersions(indexDir, retain = 1,
+      graceMs = 1000L)
+    assert(gone == Seq("v1", "v2"), s"got $gone")
+    assert(Files.exists(Paths.get(indexDir, "v3")))
+    assert(Files.exists(Paths.get(indexDir, "done-adds-1")))
+    addSink(Seq((99L, "yet another unseen document text"))
+      .toDF("doc_id", "text"), 2L)
+    assert(Files.readString(Paths.get(indexDir, "done-adds-2"))
+      .trim.toLong == 4L, "chain did not continue after GC")
     graft.engine.Caches.drain(spark)
   }
 }
