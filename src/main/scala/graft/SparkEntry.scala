@@ -71,6 +71,7 @@ object SparkEntry {
     "q_rollup_pricing" -> ((s, sf) => GQ.rollupPricing(s, sf)),
     "q_approx_distinct" -> ((s, sf) => GQ.approxDistinct(s, sf)),
     "q_ivf_topk" -> ((s, sf) => DQ.ivfTopK(s, sf)),
+    "q_ivf_incr" -> ((s, sf) => DQ.ivfIncr(s, sf)),
     "q_ivf_trained" -> ((s, sf) => DQ.ivfTrained(s, sf)),
     "q_ivf_k256" -> ((s, sf) => DQ.ivfK256(s, sf)),
     // training-data pipeline operators
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_rollup_pricing" -> GQ.rollupPricingSql,
     "q_approx_distinct" -> GQ.approxDistinctSql,
     "q_ivf_topk" -> DQ.ivfTopKSql,
+    "q_ivf_incr" -> DQ.ivfIncrSql,
     "q_ivf_trained" -> DQ.ivfTrainedSql,
     "q_ivf_k256" -> DQ.ivfK256Sql,
     "q_dedup_exact" -> DQ.dedupExactSql,

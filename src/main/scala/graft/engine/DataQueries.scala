@@ -1232,6 +1232,29 @@ SELECT query_id, cand_id, CAST(rank AS INT) AS rank, score FROM (
     s"SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings " +
       s"WHERE vec_id < $IvfCentroids")
 
+  /** IVF through the PERSISTED-index lifecycle: build
+    * [[Similarity.ivfIndex]] over the % 5 != 4 corpus, append the
+    * % 5 == 4 batch under the frozen quantizer
+    * ([[Similarity.ivfIndexAppend]] — only the batch is assigned),
+    * then serve top-k from the stored assignment
+    * ([[Similarity.ivfIndexTopK]]). The result must be IDENTICAL to
+    * q_ivf_topk's one-shot full-table run — same oracle SQL, so the
+    * incremental-assignment equivalence is DuckDB-pinned. */
+  def ivfIncr(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val idx = Similarity.ivfIndexAppend(
+      Similarity.ivfIndex(e.where(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", cents, "cent_id", "cvec"),
+      e.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+    val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfIndexTopK(idx, queries, "vec_id", "embedding",
+      k = IvfK, nProbe = IvfProbes)
+  }
+
+  val ivfIncrSql: String = ivfTopKSql
+
   // ---- IVF at a PRODUCTION-SHAPED list count (K = 256) ----
   // exercises the reference-object centroid index
   // (graft.functions.IvfCentroids): at K=256×64dim the old

@@ -201,6 +201,116 @@ object Similarity {
       .select("id_a", "id_b", "score").distinct()
   }
 
+  /** Persistable IVF index: FROZEN centroids (the trained coarse
+    * quantizer travels with the index — assignment under different
+    * centroids shares no lists) + per-vector list assignment, saved
+    * bucketed by `list_id` so probes are equi-joins on the stored
+    * layout. The serving-time shape of IVF at corpus scale: train
+    * once (KMeans), assign incrementally forever. */
+  final case class IvfIndex(assigned: DataFrame, centIds: Array[Long],
+      centVecs: Array[Array[Float]]) {
+    private[operators] def refIndex = new graft.functions.IvfCentroids(
+      centIds, centVecs)
+    /** Centroid floats persist as raw IEEE-754 bits — the quantizer
+      * must round-trip EXACTLY or every future assignment is against
+      * a perturbed codebook. */
+    def save(dir: String): Unit = {
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+      val sb = new StringBuilder("{\"centroids\":[")
+      centIds.indices.foreach { i =>
+        if (i > 0) sb.append(',')
+        sb.append(s"""{"id":${centIds(i)},"bits":[""")
+        sb.append(centVecs(i).map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).append("]}")
+      }
+      sb.append("]}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "centroids.json"), sb.toString)
+    }
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "centroids.json"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(txt).get("centroids")
+    val ids = Array.newBuilder[Long]
+    val vecs = Array.newBuilder[Array[Float]]
+    node.forEach { c =>
+      ids += c.get("id").asLong()
+      val b = Array.newBuilder[Float]
+      c.get("bits").forEach(x =>
+        b += java.lang.Float.intBitsToFloat(x.asInt()))
+      vecs += b.result()
+    }
+    IvfIndex(spark.read.parquet(s"$dir/assigned"), ids.result(),
+      vecs.result())
+  }
+
+  /** Build the index: assign every vector to its nearest centroid's
+    * list via the one-node `ivf_nearest` expression (same
+    * assignment rule as [[ivfTopK]] — L2, ties → smaller id). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String,
+      centVecCol: String): IvfIndex = {
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    val idx = IvfIndex(null, cents.map(_._1), cents.map(_._2))
+    idx.copy(assigned = assignLists(idx, df, idCol, vecCol))
+  }
+
+  private def assignLists(index: IvfIndex, df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.functions.ivf_nearest
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(ivf_nearest(col(vecCol), index.refIndex, 1), 1)
+        .as("list_id"))
+  }
+
+  /** Assign ONLY the batch under the frozen quantizer and union —
+    * equals [[ivfIndex]] over corpus ∪ batch with the same centroids
+    * (assignment is per-row; IndexRemoveSpec pins it). */
+  def ivfIndexAppend(index: IvfIndex, newDf: DataFrame,
+      idCol: String, vecCol: String): IvfIndex =
+    index.copy(assigned = index.assigned.unionByName(
+      assignLists(index, newDf, idCol, vecCol)))
+
+  /** Takedown: per-id rows drop; lists keep their other members. */
+  def ivfIndexRemove(index: IvfIndex, removeIds: DataFrame,
+      idCol: String): IvfIndex =
+    index.copy(assigned = index.assigned.join(
+      broadcast(removeIds.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti"))
+
+  /** Top-k against the STORED assignment: queries probe their nProbe
+    * nearest lists and equi-join the index — identical semantics to
+    * [[ivfTopK]] over the same corpus and centroids (spec-pinned),
+    * without re-assigning any candidate. */
+  def ivfIndexTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.functions.ivf_nearest
+    val qry = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("queryv"),
+      explode(ivf_nearest(col(vecCol), index.refIndex, nProbe))
+        .as("list_id"))
+    val scored = qry.join(index.assigned
+        .select(col("list_id"), col("id").as("cand_id"),
+          col("v").as("candv")), Seq("list_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("score", cosine(col("queryv"), col("candv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "score")
+  }
+
   /** Σ (aᵢ−bᵢ)² in double, sequential fold (order-stable). */
   def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>

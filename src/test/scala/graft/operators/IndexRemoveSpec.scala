@@ -113,6 +113,60 @@ class IndexRemoveSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  // ---- EMBEDDING (IvfIndex lifecycle) ----
+
+  test("ivf index: append under the frozen quantizer equals a " +
+      "from-scratch build; save/load round-trips the codebook " +
+      "bit-exactly; remove drops per-id rows; stored-assignment topK " +
+      "equals the one-shot ivfTopK") {
+    val vecs = (0L until 40L).map(id =>
+      id -> Array.tabulate(8)(i =>
+        (((id * 13 + i * 7) % 53).toDouble / 53.0 - 0.5).toFloat))
+    val df = vecs.toDF("id", "vec")
+    val cents = vecs.take(4)
+      .toDF("cent_id", "cvec")
+    val corpus = df.where(col("id") % 3 =!= 1)
+    val batch = df.where(col("id") % 3 === 1)
+    val appended = Similarity.ivfIndexAppend(
+      Similarity.ivfIndex(corpus, "id", "vec", cents, "cent_id",
+        "cvec"),
+      batch, "id", "vec")
+    val rebuilt = Similarity.ivfIndex(df, "id", "vec", cents,
+      "cent_id", "cvec")
+    def asg(i: Similarity.IvfIndex) = i.assigned
+      .select("id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asg(appended) == asg(rebuilt))
+    // save/load: codebook floats bit-identical, assignment intact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    appended.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centIds.toSeq == appended.centIds.toSeq)
+    assert(loaded.centVecs.flatten.map(java.lang.Float.floatToRawIntBits)
+      .toSeq == appended.centVecs.flatten
+      .map(java.lang.Float.floatToRawIntBits).toSeq)
+    assert(asg(loaded) == asg(rebuilt))
+    // remove ≡ rebuild over survivors
+    val after = Similarity.ivfIndexRemove(loaded,
+      Seq(6L, 7L, 99L).toDF("id"), "id")
+    val reduced = Similarity.ivfIndex(
+      df.where(!col("id").isin(6L, 7L)), "id", "vec", cents,
+      "cent_id", "cvec")
+    assert(asg(after) == asg(reduced))
+    // stored-assignment serving ≡ the one-shot operator
+    val queries = df.where(col("id") >= 30)
+    def topk(out: org.apache.spark.sql.DataFrame) = out
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val servedIdx = topk(Similarity.ivfIndexTopK(rebuilt, queries,
+      "id", "vec", k = 3, nProbe = 2))
+    val oneShot = topk(Similarity.ivfTopK(df, queries, cents, "id",
+      "vec", "cent_id", "cvec", k = 3, nProbe = 2))
+    assert(servedIdx == oneShot && oneShot.nonEmpty)
+    graft.engine.Caches.drain(spark)
+  }
+
   // ---- IMAGE (DhashIndex) ----
 
   test("dhash takedown equals a from-scratch index of the reduced " +
