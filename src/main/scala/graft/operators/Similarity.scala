@@ -203,10 +203,12 @@ object Similarity {
 
   /** Persistable IVF index: FROZEN centroids (the trained coarse
     * quantizer travels with the index — assignment under different
-    * centroids shares no lists) + per-vector list assignment, saved
-    * bucketed by `list_id` so probes are equi-joins on the stored
-    * layout. The serving-time shape of IVF at corpus scale: train
-    * once (KMeans), assign incrementally forever. */
+    * centroids shares no lists) + per-vector list assignment.
+    * [[IvfIndex.save]] writes plain parquet (the MinhashIndex.save
+    * convention); at catalog-deployment scale, bucket `assigned` by
+    * `list_id` so probes equi-join the stored layout shuffle-free.
+    * The serving-time shape of IVF at corpus scale: train once
+    * (KMeans), assign incrementally forever. */
   final case class IvfIndex(assigned: DataFrame, centIds: Array[Long],
       centVecs: Array[Array[Float]]) {
     private[operators] def refIndex = new graft.functions.IvfCentroids(

@@ -247,9 +247,17 @@ object TextOps {
     * one compared pair collide in 60 bits (birthday bound ≈ k²/2⁶¹
     * for k tokens per doc — vanishing for any real document, and
     * deterministic: both sides of an equality oracle see the same
-    * sets). */
+    * sets).
+    *
+    * The array is SORTED: a set has no order, and a canonical layout
+    * is what lets an index row written by one code path (say a
+    * promoted representative inheriting its group's set) compare
+    * frame-for-frame equal to the same set computed from a different
+    * member's document — Jaccard via `array_intersect` never cared,
+    * but remove-equals-rebuild contracts do. */
   def tokenHashSet(text: Column): Column =
-    array_distinct(transform(tokens(text), t => tokenHash60(t)))
+    array_sort(array_distinct(transform(tokens(text),
+      t => tokenHash60(t))))
 
   def minhashA(k: Int): Long = 1103L + 29L * k
   def minhashB(k: Int): Long = 12345L + 7L * k

@@ -168,11 +168,17 @@ object DocStream {
       writerId: String = "takedown"): (DataFrame, Long) => Unit = {
     import graft.operators.Similarity
     versionedIndexSink[Similarity.SrpIndex](indexDir, logDir, writerId,
-      emptyOf = batch => {
-        import batch.sparkSession.implicits._
-        Similarity.SrpIndex(Seq.empty[(Long, Array[Float], Long)]
-          .toDF("id", "v", "bucket"), dim, numPlanes)
-      },
+      // derive the empty frame from the STREAM (batch.limit(0)) like
+      // every other sink, so a chain whose first batch is a takedown
+      // publishes v1 with the stream's real id type, not a hardcoded
+      // long
+      emptyOf = batch => Similarity.SrpIndex(
+        batch.limit(0).select(col(idCol).as("id"))
+          .withColumn("v", org.apache.spark.sql.functions
+            .lit(null).cast("array<float>"))
+          .withColumn("bucket", org.apache.spark.sql.functions
+            .lit(null).cast("long")),
+        dim, numPlanes),
       load = (spark, dir) => Similarity.loadSrpIndex(spark, dir),
       dedup = (_, batch) => batch.select(col(idCol).as("removed_id")),
       append = (idx, batch) => Similarity.srpIndexRemove(idx, batch,

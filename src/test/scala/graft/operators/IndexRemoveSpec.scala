@@ -70,6 +70,20 @@ class IndexRemoveSpec extends SparkSpec {
     graft.engine.Caches.drain(spark)
   }
 
+  test("promotion to a member whose document has a DIFFERENT token " +
+      "order still matches the rebuild frame-for-frame (canonical " +
+      "sorted token-hash sets)") {
+    // group {1,2,5}: doc 5's text is the REVERSED token order;
+    // removing 1 AND 2 promotes 5, whose inherited token set must
+    // equal what a from-scratch build computes from doc 5's own text
+    val after = TextOps.minhashIndexRemove(mhIndexOf(docs),
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val rebuilt = mhIndexOf(docs.filterNot(d => Seq(1L, 2L)
+      .contains(d._1)))
+    assertMhEqual(after, rebuilt)
+    graft.engine.Caches.drain(spark)
+  }
+
   test("minhash takedown stops the removed docs' pairs: incremental " +
       "dedup against the reduced index equals full dedup over the " +
       "reduced corpus filtered to batch-touching pairs") {
