@@ -493,11 +493,22 @@ class TileTableCommitSpec extends SparkSpec {
       assert(current >= 3)
       store.keys.foreach(k => store.setMtime(k, 1L))
       // data-plane mtimes age for real (the walk runs through the
-      // Hadoop FS of the root, not java.nio)
+      // Hadoop FS of the root, not java.nio) — ONE LEVEL DOWN TOO:
+      // tombstone dirs live at del/tombstone-*, and leaving them at
+      // their creation mtime made this test race the 1000 ms grace
+      // window (it failed when deleteWhere→vacuum happened to finish
+      // in 971 ms on a loaded box)
       val rootDirs = Files.list(Paths.get(dir))
-      try rootDirs.forEach(p =>
+      try rootDirs.forEach { p =>
         Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1L)))
+          java.nio.file.attribute.FileTime.fromMillis(1L))
+        if (Files.isDirectory(p)) {
+          val sub = Files.list(p)
+          try sub.forEach(q => Files.setLastModifiedTime(q,
+            java.nio.file.attribute.FileTime.fromMillis(1L)))
+          finally sub.close()
+        }
+      }
       finally rootDirs.close()
       TileTable.vacuum(dir, graceMs = 1000L)
       val left = store.keys
