@@ -82,6 +82,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, sf) => DQ.minhashLsh(s, sf)),
     "q_minhash_incr" -> ((s, sf) => DQ.minhashIncr(s, sf)),
     "q_minhash_takedown" -> ((s, sf) => DQ.minhashTakedown(s, sf)),
+    "q_srp_takedown" -> ((s, sf) => DQ.srpTakedown(s, sf)),
+    "q_image_takedown" -> ((s, _) => EQ.imageTakedown(s)),
     "q_minhash_clusters" -> ((s, sf) => DQ.minhashClusters(s, sf)),
     "q_sig_groups" -> ((s, sf) => DQ.sigGroups(s, sf)),
     "q_stream_sigdedup" -> ((s, sf) => DQ.streamSigDedup(s, sf)),
@@ -174,6 +176,8 @@ object SparkEntry {
     "q_minhash_lsh" -> DQ.minhashLshSql,
     "q_minhash_incr" -> DQ.minhashIncrSql,
     "q_minhash_takedown" -> DQ.minhashTakedownSql,
+    "q_srp_takedown" -> DQ.srpTakedownSql,
+    "q_image_takedown" -> EQ.imageTakedownSql,
     "q_minhash_clusters" -> DQ.minhashClustersSql,
     "q_sig_groups" -> DQ.sigGroupsSql,
     "q_stream_sigdedup" -> DQ.streamSigDedupSql,

@@ -1012,6 +1012,40 @@ SELECT * FROM (
     srpPairSql("ba.bucket = bb.bucket") +
       " AND (id_a % 5 = 4 OR id_b % 5 = 4)"
 
+  /** Embedding takedown (the q_minhash_takedown pattern on the SRP
+    * modality): the % 5 != 4 corpus is indexed, its % 7 == 3 vectors
+    * are removed from the INDEX ([[Similarity.srpIndexRemove]]), the
+    * % 5 == 4 batch dedups against the reduced index; must equal full
+    * SRP dedup over (corpus minus takedown) ∪ batch filtered to
+    * batch-touching pairs — the oracle recomputes that over the
+    * filtered embeddings table. */
+  def srpTakedown(spark: SparkSession, sf: String): DataFrame = {
+    val e = t(spark, sf, "embeddings")
+    val corpus = e.where(col("vec_id") % 5 =!= 4)
+    val idx = Similarity.srpIndexRemove(
+      Similarity.srpIndex(corpus, "vec_id", "embedding", SrpDim,
+        SrpPlanes),
+      corpus.where(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+    Similarity.srpNearDupIncremental(idx,
+      e.where(col("vec_id") % 5 === 4), "vec_id", "embedding",
+      SrpThreshold)
+  }
+
+  val srpTakedownSql: String = {
+    // every read site (bucket CTE + both pair sides) must see the
+    // reduced table, so the whole statement re-roots on one filtered
+    // CTE — "emb" replaces "embeddings" globally, then the original
+    // WITH folds in behind it
+    val body = (srpPairSql("ba.bucket = bb.bucket") +
+      " AND (id_a % 5 = 4 OR id_b % 5 = 4)")
+      .replace("embeddings", "emb")
+      .replaceFirst("\\s*WITH ", "")
+    s"""
+WITH emb AS (SELECT * FROM embeddings
+  WHERE NOT (vec_id % 5 <> 4 AND vec_id % 7 = 3)),
+$body"""
+  }
+
   /** Multi-probe SRP: Hamming-1 bucket probes for recall — candidate
     * pairs are exactly those whose buckets differ in at most one bit,
     * which the oracle states directly via bit_count(xor(...)). */

@@ -1068,6 +1068,52 @@ WHERE NOT (
   (id_a NOT LIKE '%~dup' AND substr(id_a, 6, 4) < '0004') AND
   (id_b NOT LIKE '%~dup' AND substr(id_b, 6, 4) < '0004'))"""
 
+  /** Image takedown (the q_minhash_takedown pattern on the dHash
+    * modality): the below-half corpus is indexed, its tile-row-0001
+    * images are removed from the INDEX
+    * ([[graft.operators.ImageOps.dhashIndexRemove]] — a hash VALUE
+    * retires only with its last member), then the imageIncr batch
+    * dedups against the reduced index; the oracle recomputes
+    * brute-force Hamming pairs over the reduced population filtered
+    * to batch-touching pairs. */
+  def imageTakedown(spark: SparkSession): DataFrame = {
+    val withDh = persistedDhash(spark)
+    val half = Synth.testGrid.tilesY / 2
+    val tr = regexp_extract(col("image_id"), "tile_(\\d+)_(\\d+)", 1)
+      .cast("int")
+    val corpus = withDh.where(tr < half)
+    val batch = withDh.where(tr >= half).unionByName(
+      withDh.where(tr < half).select(
+        concat(col("image_id"), lit("~dup")).as("image_id"),
+        col("dhash")))
+    val idx = graft.operators.ImageOps.dhashIndexRemove(
+      graft.operators.ImageOps.dhashIndex(corpus, "image_id", "dhash",
+        DhashBands, DhashBits),
+      corpus.where(tr === 1).select("image_id"), "image_id")
+    graft.operators.ImageOps.dhashNearDupIncremental(idx, batch,
+      "image_id", "dhash", DhashMaxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
+  val imageTakedownSql: String = s"""$dhashCte,
+all_ids AS (
+  SELECT image_id, dhash FROM dh
+    WHERE NOT (substr(image_id, 6, 4) = '0001')
+  UNION ALL
+  SELECT image_id || '~dup', dhash FROM dh
+    WHERE substr(image_id, 6, 4) < '0004'
+)
+SELECT * FROM (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+  FROM all_ids a JOIN all_ids b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+)
+WHERE NOT (
+  (id_a NOT LIKE '%~dup' AND substr(id_a, 6, 4) < '0004') AND
+  (id_b NOT LIKE '%~dup' AND substr(id_b, 6, 4) < '0004'))"""
+
   /** Image dedup CLUSTERS: the dHash near-dup pairs feed connected
     * components — one canonical tile per perceptual-duplicate group
     * (comp = the group's minimum image_id). The oracle recomputes the
