@@ -417,6 +417,52 @@ object WinnowSelectImpl {
   }
 }
 
+/** Intersection-cardinality of two SORTED, DISTINCT `array<long>`
+  * columns — a linear two-pointer merge in one codegen call, replacing
+  * `size(array_intersect(a, b))` on the dedup verify path. Spark's
+  * `ArrayIntersect.evalIntersect` builds an `OpenHashSet[Any]` per ROW
+  * and boxes every element; at ~5M candidate pairs × ~44 longs that is
+  * ~2·10⁸ boxed Longs of pure garbage per query (the q_minhash_lsh
+  * GC driver). This merge allocates NOTHING.
+  *
+  * PRECONDITION (caller-owned, same contract [[graft.operators
+  * .TextOps.tokenHashSet]] documents): both arrays ascending-sorted
+  * with distinct elements. On such inputs the count equals
+  * `size(array_intersect(a, b))` exactly (spec-pinned). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(SortedIntersectCountImpl.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountImpl {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -480,4 +526,9 @@ object functions {
     * array — array<struct<pos,fp>> in one O(n) pass. */
   def winnow_select(hashes: Column, w: Int): Column =
     col(WinnowSelect(expr(hashes), w))
+
+  /** `size(array_intersect(a, b))` for SORTED DISTINCT `array<long>`
+    * inputs — zero-allocation linear merge. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
 }
