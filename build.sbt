@@ -30,6 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Let AQE re-optimize (coalesce) the output partitioning of CACHED
+  // plans: the dedup operators persist dimension-sized frames (sig,
+  // members, tokSets) that are consumed by many union branches/join
+  // sides, and with the default=false every such cache pins the full
+  // spark.sql.shuffle.partitions layout — each consumer stage then
+  // runs shuffle.partitions near-empty tasks per branch. Scale-neutral
+  // (it ADAPTS to stats rather than encoding local core counts).
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // image decode allocates heavily across 32 executor threads;
   // ParallelGC sustains ~2x the allocation throughput of G1 here

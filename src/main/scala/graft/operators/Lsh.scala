@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 /** Shared LSH band-join machinery. */
 object Lsh {
 
+  /** Hash-spread a banded frame over the session's full shuffle width
+    * before a band self-join. The join's work is its OUTPUT (hot
+    * buckets emit freq² candidate rows), so its parallelism must not
+    * be inherited from a tiny upstream layout — with cached-plan AQE
+    * re-optimization on (build.sbt), a dimension-sized signature cache
+    * coalesces to ONE partition and the candidate explosion would run
+    * on numBands tasks (measured 3× the wall of the spread join at
+    * p32). Explicit numPartitions pins the width (AQE never coalesces
+    * a REPARTITION_BY_NUM shuffle); hashing on the band key means a
+    * sort-merge band join at corpus scale reuses this exchange as its
+    * own required distribution — no extra shuffle where it matters. */
+  def spreadBands(banded: DataFrame): DataFrame =
+    banded.repartition(
+      banded.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band_key"))
+
   /** Per-bucket frequency cap for a banded (key, member) frame — the
     * winnowing `maxDocFreq` guard generalized: adversarial inputs can
     * pile distinct contents into one band bucket even after

@@ -396,8 +396,8 @@ object TextOps {
     val bands = bandKeys(sig, numBands, numHashes / numBands)
     // per-bucket frequency cap (the winnowing maxDocFreq guard):
     // adversarial DISTINCT contents can still pile into one bucket
-    val banded = Lsh.capBandBuckets(bands, "band_key", maxBandFreq,
-      "minhash")
+    val banded = Lsh.spreadBands(Lsh.capBandBuckets(bands, "band_key",
+      maxBandFreq, "minhash"))
     val l = banded.select(col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_key"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band_key"))
@@ -726,9 +726,9 @@ object TextOps {
       .select(col("rid").as("id")).distinct()
     // band universe = saved index + fresh reps; the frequency cap
     // must see the UNION so a bucket is kept/dropped for both sides
-    val kept = reg(Lsh.capBandBuckets(
+    val kept = reg(Lsh.spreadBands(Lsh.capBandBuckets(
       index.repBands.unionByName(freshBands), "band_key", maxBandFreq,
-      "minhash-incr"))
+      "minhash-incr")))
     val leftIds = freshRepIds.unionByName(gainedRepIds)
     val cand = kept.join(leftIds, Seq("id"))
       .select(col("band_key"), col("id").as("id_l"))

@@ -506,6 +506,11 @@ object ZonalEngine {
     val col1 = col0 + grid.tileW - 1; val row1 = row0 + grid.tileH - 1
     var px: Array[Float] = null
     val out = scala.collection.mutable.ArrayBuffer.empty[WinPartial]
+    // loop-invariant nodata predicate (same isclose formula — see
+    // ZonalStats.processTile)
+    val ndDef = nodata.isDefined
+    val ndVal = if (ndDef) nodata.get else 0.0
+    val ndTol = 1e-8 + 1e-5 * math.abs(ndVal)
 
     val cands = tree.query(new org.locationtech.jts.geom.Envelope(
       col0.toDouble, (col1 + 1).toDouble,
@@ -532,8 +537,7 @@ object ZonalEngine {
           while (gc <= gc1) {
             val v = px(rowBase + gc)
             cnt += 1
-            val isNd = nodata.isDefined &&
-              ZonalStats.isCloseTo(v.toDouble, nodata.get)
+            val isNd = ndDef && math.abs(v.toDouble - ndVal) <= ndTol
             if (isNd) nd += 1
             else {
               val vd = v.toDouble

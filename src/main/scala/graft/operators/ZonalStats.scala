@@ -69,6 +69,12 @@ object ZonalStats {
     val gf = zoneGeomFactory
     val tileGeom = gf.toGeometry(env)
     val out = new scala.collection.mutable.ArrayBuffer[FidPartial](cands.length)
+    // nodata predicate hoisted out of the pixel loop: the Option unbox
+    // and the tolerance term are loop-invariant (same isclose formula,
+    // runner.py:644-647) — the fill loop then pays one abs+compare
+    val ndDef = nodata.isDefined
+    val ndVal = if (ndDef) nodata.get else 0.0
+    val ndTol = 1e-8 + 1e-5 * math.abs(ndVal)
 
     var ci = 0
     while (ci < cands.length) {
@@ -107,9 +113,7 @@ object ZonalStats {
             while (gc <= b) {
               val v = px(rowBase + gc)
               cnt += 1
-              val isNd = nodata.isDefined &&
-                math.abs(v.toDouble - nodata.get) <=
-                  1e-8 + 1e-5 * math.abs(nodata.get)
+              val isNd = ndDef && math.abs(v.toDouble - ndVal) <= ndTol
               if (isNd) nd += 1
               else {
                 val vd = v.toDouble
@@ -229,13 +233,17 @@ object ZonalStats {
     // single accumulation pass over the owner array (runner.py:634-685)
     val px = ImageCodec.decodeTL(bytes, fmt)
     val accs = new java.util.HashMap[Integer, Acc]()
+    // loop-invariant nodata predicate (see processTile)
+    val ndDef = nodata.isDefined
+    val ndVal = if (ndDef) nodata.get else 0.0
+    val ndTol = 1e-8 + 1e-5 * math.abs(ndVal)
     var i = 0
     while (i < nPx) {
       val zi = owner(i)
       if (zi >= 0) {
         var a = accs.get(zi)
         if (a == null) { a = new Acc(collectValues); accs.put(zi, a) }
-        a.add(px(i), nodata)
+        a.add(px(i), ndDef, ndVal, ndTol)
       }
       i += 1
     }
@@ -254,9 +262,10 @@ object ZonalStats {
     var sum = 0.0; var sumsq = 0.0
     val vals = if (collectValues)
       new scala.collection.mutable.ArrayBuffer[Float](64) else null
-    def add(v: Float, nodata: Option[Double]): Unit = {
+    def add(v: Float, ndDef: Boolean, ndVal: Double,
+        ndTol: Double): Unit = {
       cnt += 1
-      if (nodata.isDefined && isCloseTo(v.toDouble, nodata.get)) nd += 1
+      if (ndDef && math.abs(v.toDouble - ndVal) <= ndTol) nd += 1
       else {
         val vd = v.toDouble
         if (vd < mn) mn = vd
@@ -271,22 +280,22 @@ object ZonalStats {
   private val zoneGeomFactory = new org.locationtech.jts.geom.GeometryFactory()
 
   /** Tile scan → per-(tile,fid) partials. `tiles` must have columns
-    * (image_id, bytes, fmt); projection happens before the flatMap so
-    * parquet column pruning still applies. */
+    * (image_id, bytes, fmt); only those three reach the generator so
+    * parquet column pruning still applies. The kernel runs as a
+    * codegen-able collection generator
+    * ([[graft.functions.ZonalPartialsGen]]): scan → kernel → partial
+    * aggregation fuse into one whole-stage-codegen stage and the scan
+    * row's byte payload is copied exactly once (the r1-r7 typed
+    * flatMap re-materialized every tile as a Scala tuple — a second
+    * 16 KB copy plus two String decodes per tile, ~17 GB of
+    * deserialization garbage per bench run). */
   def tilePartials(tiles: DataFrame, bc: Broadcast[ZoneIndex],
       grid: RasterGrid, nodata: Option[Double],
-      collectValues: Boolean, lastWins: Boolean = false): Dataset[FidPartial] = {
-    val spark = tiles.sparkSession
-    import spark.implicits._
-    tiles.select("image_id", "bytes", "fmt")
-      .as[(String, Array[Byte], String)]
-      .flatMap { case (id, bytes, fmt) =>
-        if (lastWins)
-          processTileLastWins(id, bytes, fmt, grid, bc.value, nodata,
-            collectValues)
-        else
-          processTile(id, bytes, fmt, grid, bc.value, nodata, collectValues)
-      }
+      collectValues: Boolean, lastWins: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    tiles.select(toCol(graft.functions.ZonalPartialsGen(
+      toExpr(tiles("image_id")), toExpr(tiles("bytes")),
+      toExpr(tiles("fmt")), grid, bc, nodata, collectValues, lastWins)))
   }
 
   /** Per-FID statistics (the reference's `aggregate_stats` dict,
