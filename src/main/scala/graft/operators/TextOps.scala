@@ -508,7 +508,9 @@ object TextOps {
     val repEdges = repNearDupPairs(
       repDocsOf(df, idCol, textCol, members),
       numHashes, numBands, minJaccard, maxBandFreq)
-    val repNodes = members.select(col("rid").as("id")).distinct()
+    // rep-row filter ≡ distinct rid set (the rep is always a member —
+    // see resolveBatch's corpusGroups note); map-only, no shuffle
+    val repNodes = members.where(col("id") === col("rid")).select("id")
     val comps = graft.operators.Dedup.connectedComponents(
       repNodes, repEdges.select("id_a", "id_b"))
     members

@@ -211,7 +211,8 @@ object ZonalEngine {
       nodata, percentiles = Nil, exactPercentiles = true,
       tilesFor = e => table.readPruned(spark, e, band),
       histogram = None,
-      tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty))
+      tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty),
+      presentFidsKnown = Some(afterRemovals.map(_.fid).toSet))
     if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
       System.err.println(f"PHASES incr_finish=${
         (System.nanoTime() - tFin) / 1e9}%.3f")
@@ -316,6 +317,10 @@ object ZonalEngine {
     *   backing `mainFidStats`/`mainChunks`; released synchronously once
     *   the final (dimension-sized) result has materialized
     */
+  /** @param presentFidsKnown callers that already hold the per-FID
+    *   stats driver-side (the incremental path's local fold) pass the
+    *   fid set and skip the collect job — the per-increment finish
+    *   tail is fixed overhead the growth-path ratio pays every day. */
   private[graft] def finishStats(spark: SparkSession,
       mainFidStats: DataFrame, mainChunks: Option[DataFrame],
       zones: Seq[Zone], zonesDf: DataFrame, grid: RasterGrid,
@@ -325,14 +330,16 @@ object ZonalEngine {
       histogram: Option[(Double, Double, Int)],
       releases: Seq[() => Unit] = Nil,
       tilesNonEmpty: Option[
-        org.locationtech.jts.geom.Envelope => Boolean] = None): DataFrame = {
+        org.locationtech.jts.geom.Envelope => Boolean] = None,
+      presentFidsKnown: Option[Set[Long]] = None): DataFrame = {
     import spark.implicits._
     val pKeys = percentileKeys(percentiles)
     val collectVals = mainChunks.isDefined
 
     // ---- unset-FID envelope fallback (runner.py:697-811) ----
     val tPh0 = System.nanoTime()
-    val presentFids = mainFidStats.select("fid").as[Long].collect().toSet
+    val presentFids = presentFidsKnown.getOrElse(
+      mainFidStats.select("fid").as[Long].collect().toSet)
     val unset = zones.filter(z => !presentFids.contains(z.fid))
     val tPh1 = System.nanoTime()
     val (fallbackStats, fallbackChunks, fbReleases) =

@@ -526,8 +526,23 @@ object ZonalStats {
     }
 
     // zero-fill: every group in the zone table appears (runner.py:424-450,
-    // 813-815). Both sides are group-cardinality small.
-    val groupsDf = zonesDf.select("group").distinct()
+    // 813-815). Both sides are group-cardinality small. zonesDf is a
+    // dimension-sized LOCAL relation in every engine path (zones are
+    // broadcastable by the engine-wide assumption), so the distinct
+    // group set folds on the driver — ConvertToLocalRelation makes the
+    // collect job-free, where `.distinct()` cost an exchange+agg job
+    // round on every zonal run (r8; first-seen order preserved like
+    // the distinct it replaces — row order is not part of the result
+    // contract anyway).
+    val spark = fidStatsDf.sparkSession
+    val groupRows = zonesDf.select("group").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).distinct
+    val groupsDf = spark.createDataFrame(
+      java.util.Arrays.asList(groupRows.map(g =>
+        org.apache.spark.sql.Row(g: Any)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("group",
+          org.apache.spark.sql.types.StringType, nullable = true))))
     val gRen = g.withColumnRenamed("group", "g_group")
     val filled = groupsDf.join(gRen, col("group") <=> col("g_group"),
         "left_outer")
