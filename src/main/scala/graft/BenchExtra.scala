@@ -79,12 +79,37 @@ object BenchExtra {
         val name = if (args.length > 2) args(2) else "q_minhash_incr"
         val cores = if (args.length > 3) args(3).toInt else 32
         val s = Bench.session(cores)
-        val fn = SparkEntry.queries(name)
-        fn(s, sf).count() // warm-up
+        // the pseudo-query "bench_zonal" profiles the bench workload
+        // itself (Bench.runWorkload on the bench table; `sf` is then
+        // the table root)
+        val run: () => Unit =
+          if (name == "bench_zonal") {
+            Bench.ensureBenchTable(sf)
+            () => { Bench.runWorkload(s, sf); () }
+          } else {
+            val q = SparkEntry.queries(name)
+            () => { q(s, sf).count(); () }
+          }
+        run() // warm-up
         graft.engine.Caches.drain(s)
         val stages = new java.util.concurrent.ConcurrentHashMap[Int,
-          (String, Int, Long, Long)]() // id -> (name, nTasks, taskMs, wall)
+          (String, Int, Long)]() // id -> (name, nTasks, wall)
+        // task durations accumulate in their own map: tasks finish
+        // BEFORE SparkListenerStageCompleted fires, so folding them
+        // into the stage entry let the completion event zero them out
+        val taskMs = new java.util.concurrent.ConcurrentHashMap[Int,
+          java.util.concurrent.atomic.AtomicLong]()
         val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties)
+              .flatMap(p => Option(p.getProperty(
+                "spark.job.description"))).getOrElse("")
+            println(s"JOB ${j.jobId} stages=" +
+              j.stageInfos.map(_.stageId).sorted.mkString(",") +
+              s" rdd0=${j.stageInfos.headOption.map(_.name.linesIterator.next()).getOrElse("")}" +
+              (if (desc.nonEmpty) s" desc=$desc" else ""))
+          }
           override def onStageCompleted(
               e: org.apache.spark.scheduler
                 .SparkListenerStageCompleted): Unit = {
@@ -92,30 +117,31 @@ object BenchExtra {
             val wall = (for (a <- si.submissionTime;
               b <- si.completionTime) yield b - a).getOrElse(-1L)
             stages.put(si.stageId, (si.name.linesIterator.next(),
-              si.numTasks, 0L, wall))
+              si.numTasks, wall))
           }
           override def onTaskEnd(
               t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val v = stages.get(t.stageId)
             val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
-            if (v != null)
-              stages.put(t.stageId, (v._1, v._2, v._3 + d, v._4))
-            else stages.put(t.stageId, ("?", 0, d, -1L))
+            taskMs.computeIfAbsent(t.stageId,
+              _ => new java.util.concurrent.atomic.AtomicLong())
+              .addAndGet(d)
           }
         }
         s.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
-        fn(s, sf).count()
+        run()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500)
         import scala.jdk.CollectionConverters._
         val rows = stages.asScala.toSeq.sortBy(_._1)
-        rows.foreach { case (id, (nm, n, tms, w)) =>
+        def tms(id: Int): Long =
+          Option(taskMs.get(id)).map(_.get()).getOrElse(0L)
+        rows.foreach { case (id, (nm, n, w)) =>
           println(f"STAGE $id%3d wall=${w / 1e3}%7.3f s tasks=$n%4d " +
-            f"taskSum=${tms / 1e3}%8.3f s  $nm%.90s")
+            f"taskSum=${tms(id) / 1e3}%8.3f s  $nm%.90s")
         }
         println(f"TOTAL query=$wall%.3f s " +
-          f"taskSum=${rows.map(_._2._3).sum / 1e3}%.3f s " +
+          f"taskSum=${rows.map(r => tms(r._1)).sum / 1e3}%.3f s " +
           s"nStages=${rows.size}")
         s.stop()
       case "zonal" =>

@@ -393,16 +393,57 @@ object TextOps {
     val sig = minhashSignature(hashes, numHashes).persist()
     graft.engine.Caches.register(spark,
       () => { sig.unpersist(false); () })
-    val bands = bandKeys(sig, numBands, numHashes / numBands)
-    // per-bucket frequency cap (the winnowing maxDocFreq guard):
-    // adversarial DISTINCT contents can still pile into one bucket
-    val banded = Lsh.spreadBands(Lsh.capBandBuckets(bands, "band_key",
-      maxBandFreq, "minhash"))
-    val l = banded.select(col("band_key"), col("id").as("id_a"))
-    val r = banded.select(col("band_key"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val rowsPerBand = numHashes / numBands
+    val cand = if (maxBandFreq == Int.MaxValue) {
+      // UNCAPPED band join (r8): emit each candidate pair from its
+      // FIRST shared band only — the when-chain over the carried
+      // signature vector picks the lowest band index where both
+      // sides' band rows agree, and the filter keeps exactly that
+      // join row. Removes the (id_a, id_b) `.distinct()` that
+      // re-shuffled and hash-merged every pre-dedup candidate row
+      // (≈3× the pair count at sf0.1 — the largest exchange of the
+      // whole dedup family; guide §2.4 "remove shuffles outright").
+      // Pure codegen (element_at + CaseWhen), no higher-order funcs.
+      // Valid ONLY uncapped: with a bucket cap, a pair whose first
+      // shared band was dropped must still surface through a later
+      // surviving band, so the capped path keeps the distinct.
+      val sigArr = array((0 until numHashes).map(k => col(s"sig$k")): _*)
+      val withB = (0 until numBands).map { b =>
+        val key = concat_ws("_", (lit(b) +:
+          (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
+        sig.select(col("id"), lit(b).as("band_idx"), key.as("band_key"),
+          sigArr.as("sigs"))
+      }.reduce(_ unionByName _)
+      val banded = Lsh.spreadBands(withB)
+      val l = banded.select(col("band_key"), col("band_idx"),
+        col("id").as("id_a"), col("sigs").as("sa"))
+      val r = banded.select(col("band_key"), col("id").as("id_b"),
+        col("sigs").as("sb"))
+      val bandEq = (0 until numBands).map { j =>
+        (1 to rowsPerBand).map(t =>
+          element_at(col("sa"), j * rowsPerBand + t) ===
+            element_at(col("sb"), j * rowsPerBand + t)).reduce(_ && _)
+      }
+      val firstShared = bandEq.zipWithIndex
+        .foldRight(lit(-1)) { case ((eq, j), rest) =>
+          when(eq, lit(j)).otherwise(rest)
+        }
+      l.join(r, Seq("band_key"))
+        .where(col("id_a") < col("id_b") &&
+          firstShared === col("band_idx"))
+        .select("id_a", "id_b")
+    } else {
+      val bands = bandKeys(sig, numBands, rowsPerBand)
+      // per-bucket frequency cap (the winnowing maxDocFreq guard):
+      // adversarial DISTINCT contents can still pile into one bucket
+      val banded = Lsh.spreadBands(Lsh.capBandBuckets(bands, "band_key",
+        maxBandFreq, "minhash"))
+      val l = banded.select(col("band_key"), col("id").as("id_a"))
+      val r = banded.select(col("band_key"), col("id").as("id_b"))
+      l.join(r, Seq("band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     // persisted for two reasons: it feeds BOTH verify join sides, and
     // the materialized size stat lets Spark broadcast it when the rep
     // dimension is small (unpersisted, the estimate inflates through

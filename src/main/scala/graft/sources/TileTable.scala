@@ -150,9 +150,8 @@ class TileTable(val root: String, val manifest: TileManifest,
       relPaths: Seq[String]): DataFrame = {
     val paths = relPaths.map(p => s"$root/$p")
     val base = manifest.schemaDdl match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(paths: _*)
+      case Some(ddl) => TileTable.knownFilesFrame(spark,
+        org.apache.spark.sql.types.StructType.fromDDL(ddl), paths)
       case None => spark.read.parquet(paths: _*)
     }
     manifest.addedColumns.foldLeft(base) { (df, c) =>
@@ -316,6 +315,61 @@ object TileTable {
       .getOrElse(fallbackHadoopConf)
     val p = new org.apache.hadoop.fs.Path(root)
     (p.getFileSystem(conf), p)
+  }
+
+  /** Parquet frame over the manifest's KNOWN file list with the
+    * table's recorded schema — the no-listing read path (r8).
+    *
+    * `spark.read.parquet(paths: _*)` re-LISTS every path per query;
+    * past `parallelPartitionDiscovery.threshold` (32 paths) that
+    * listing is a one-task-per-file Spark JOB — 0.85 s wall and
+    * 27 CPU-s per zonal run on the 512-file bench table, paid again
+    * on every rep because the file-status cache namespace is
+    * per-query. A manifest table knows its exact file membership
+    * already (the same argument Iceberg/Delta make — guide §6), so
+    * the statuses are resolved DRIVER-SIDE with one `listStatus` per
+    * parent directory (~ms against a local FS; one RPC per directory
+    * on an object store) and handed to Spark through
+    * [[org.apache.spark.sql.GraftScanBridge]] — zero listing jobs,
+    * identical pushdown/pruning/`_metadata` semantics.
+    *
+    * Falls back to the listing read when the data plane cannot
+    * resolve statuses (e.g. a registered non-Hadoop store root) — a
+    * MISSING manifest file must still fail loudly, so only resolver
+    * errors fall back, not absent files. */
+  private[sources] def knownFilesFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      absPaths: Seq[String]): DataFrame = {
+    if (absPaths.isEmpty) return spark.read.schema(schema).parquet()
+    val resolved: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val byParent = absPaths.map(new org.apache.hadoop.fs.Path(_))
+          .groupBy(_.getParent)
+        val found = byParent.iterator.flatMap { case (parent, ps) =>
+          val fs = parent.getFileSystem(conf)
+          val names = ps.map(_.getName).toSet
+          fs.listStatus(parent).iterator
+            .filter(st => names.contains(st.getPath.getName))
+            .map(st => st.getPath.toUri.getPath -> st)
+        }.toMap
+        Some(absPaths.map { p =>
+          val key = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          found.getOrElse(key, throw new java.io.FileNotFoundException(
+            s"manifest data file missing on the data plane: $p"))
+        })
+      } catch {
+        // a MISSING file/dir is table corruption (or a vacuum racing
+        // this reader) — fail loudly, exactly like the listing read
+        case e: java.io.FileNotFoundException => throw e
+        case scala.util.control.NonFatal(_) => None // non-Hadoop root
+      }
+    resolved match {
+      case Some(sts) =>
+        org.apache.spark.sql.GraftScanBridge.parquetFrame(spark,
+          schema, sts)
+      case None => spark.read.schema(schema).parquet(absPaths: _*)
+    }
   }
 
   /** Directory entries (name, mtimeMs) directly under `root/sub`
