@@ -14,13 +14,29 @@ object Lsh {
     * coalesces to ONE partition and the candidate explosion would run
     * on numBands tasks (measured 3× the wall of the spread join at
     * p32). Explicit numPartitions pins the width (AQE never coalesces
-    * a REPARTITION_BY_NUM shuffle); hashing on the band key means a
-    * sort-merge band join at corpus scale reuses this exchange as its
-    * own required distribution — no extra shuffle where it matters. */
-  def spreadBands(banded: DataFrame): DataFrame =
+    * a REPARTITION_BY_NUM shuffle).
+    *
+    * `saltById` (default true — r8): hash on (band_key, id), not
+    * band_key alone. The self-join paths probe a BROADCAST build
+    * side, so the stream side's partitioning is free — and keying it
+    * by band_key alone put every hot bucket's freq² candidate
+    * explosion on ONE task (the lsh band stage ran 1.1 s wall for
+    * 5 CPU-s of work, one straggler task ≈ the whole stage). Adding
+    * `id` spreads a hot bucket's probe rows across the full width; a
+    * corpus-scale sort-merge band join re-shuffles by band_key from
+    * either layout, and ITS hot bucket lands on one reducer
+    * regardless — per-bucket capping is the skew answer there, not
+    * this exchange. Pass saltById=false where the spread frame is
+    * CACHED and re-joined on band_key (the incremental index path):
+    * there the key-clustered layout is reused by the band join
+    * shuffle-free, and salting measured a net loss (an extra
+    * corpus-sized exchange per ingest batch). */
+  def spreadBands(banded: DataFrame,
+      saltById: Boolean = true): DataFrame =
     banded.repartition(
       banded.sparkSession.sessionState.conf.numShufflePartitions,
-      col("band_key"))
+      (if (saltById) Seq(col("band_key"), col("id"))
+       else Seq(col("band_key"))): _*)
 
   /** Per-bucket frequency cap for a banded (key, member) frame — the
     * winnowing `maxDocFreq` guard generalized: adversarial inputs can

@@ -771,7 +771,7 @@ object TextOps {
     // must see the UNION so a bucket is kept/dropped for both sides
     val kept = reg(Lsh.spreadBands(Lsh.capBandBuckets(
       index.repBands.unionByName(freshBands), "band_key", maxBandFreq,
-      "minhash-incr")))
+      "minhash-incr"), saltById = false))
     val leftIds = freshRepIds.unionByName(gainedRepIds)
     val cand = kept.join(leftIds, Seq("id"))
       .select(col("band_key"), col("id").as("id_l"))
