@@ -207,12 +207,29 @@ object ZonalEngine {
       System.err.println(f"PHASES incr_merge=${
         (System.nanoTime() - tPhase) / 1e9}%.3f")
     val tFin = System.nanoTime()
-    val res = finishStats(spark, merged, None, zones, zonesDf, grid,
-      nodata, percentiles = Nil, exactPercentiles = true,
-      tilesFor = e => table.readPruned(spark, e, band),
-      histogram = None,
-      tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty),
-      presentFidsKnown = Some(afterRemovals.map(_.fid).toSet))
+    // Driver-side rollup when the fallback provably contributes
+    // nothing (r8): the per-FID stats are already local after the
+    // fold, the zone table is dimension-sized, and this path is
+    // percentile-free by contract — routing the rollup through Spark
+    // cost 3-4 job rounds (~0.3 s) of fixed overhead per increment,
+    // the largest slice of the daily-append wall after the delta
+    // decode itself. Value/schema equality with the Spark rollup is
+    // pinned by GroupStatsLocalSpec; a nonempty fallback keeps the
+    // full finishStats path (its scan is a real Spark job anyway).
+    val presentFids = afterRemovals.map(_.fid).toSet
+    val unset = zones.filter(z => !presentFids.contains(z.fid))
+    val fallbackEmpty = unset.isEmpty ||
+      table.prunedFiles(Zone.totalEnvelope(unset)).isEmpty
+    val res =
+      if (fallbackEmpty)
+        ZonalStats.groupStatsLocalFrame(spark, afterRemovals,
+          zones.map(z => (z.fid, Option(z.group))))
+      else finishStats(spark, merged, None, zones, zonesDf, grid,
+        nodata, percentiles = Nil, exactPercentiles = true,
+        tilesFor = e => table.readPruned(spark, e, band),
+        histogram = None,
+        tilesNonEmpty = Some(e => table.prunedFiles(e).nonEmpty),
+        presentFidsKnown = Some(presentFids))
     if (sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("1"))
       System.err.println(f"PHASES incr_finish=${
         (System.nanoTime() - tFin) / 1e9}%.3f")

@@ -578,6 +578,95 @@ object ZonalStats {
       .drop("sumsq")
   }
 
+  /** [[groupStats]] ON THE DRIVER for the no-percentile case — the
+    * incremental growth path's rollup (r8). Per-FID stats and the
+    * zone table are both dimension-sized and, on the incremental
+    * path, already live driver-side; routing them through the Spark
+    * rollup cost 3-4 job rounds (~0.3 s) of pure fixed overhead per
+    * increment — the single largest slice of the daily-append wall
+    * after the delta decode itself.
+    *
+    * Semantics mirror [[groupStats]] operation for operation, in the
+    * SAME fold order the Spark path uses (rows fid-sorted — the
+    * [[fidStatsFrame]] layout — accumulated per group in encounter
+    * order; min/max use Spark's DoubleType ordering via
+    * `java.lang.Double.compare`): inner fid→group join, sums fold
+    * unconditionally, min/max only from fids with valid_count>0,
+    * zero-fill for every zone-table group (first-seen order),
+    * population stdev with variance clamped at 0, min/max/stdev NULL
+    * at valid_count==0. Equality with the Spark rollup — values,
+    * schema, row order — is pinned by GroupStatsLocalSpec on
+    * randomized fractional inputs. */
+  def groupStatsLocalFrame(spark: SparkSession,
+      rows: Seq[FidStatRow], zones: Seq[(Long, Option[String])])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val groupOf: Map[Long, Option[String]] = zones.map(z => z._1 -> z._2).toMap
+    final class GAcc {
+      var count = 0L; var nodata = 0L
+      var sum = 0.0; var sumsq = 0.0
+      var mnSet = false; var mn = 0.0
+      var mxSet = false; var mx = 0.0
+    }
+    val accs = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], GAcc]
+    rows.sortBy(_.fid).foreach { r =>
+      groupOf.get(r.fid).foreach { g =>
+        val a = accs.getOrElseUpdate(g, new GAcc)
+        a.count += r.cnt; a.nodata += r.nodata
+        a.sum += r.sum; a.sumsq += r.sumsq
+        if (r.cnt - r.nodata > 0) {
+          // Spark's double comparison (Utils.nanSafeCompareDoubles):
+          // NaN greatest, NaN == NaN, -0.0 == 0.0 (primitive </>) —
+          // ties keep the incumbent, exactly like least/greatest
+          def nanSafeCmp(x: Double, y: Double): Int =
+            if (x.isNaN && y.isNaN) 0 else if (x.isNaN) 1
+            else if (y.isNaN) -1
+            else if (x < y) -1 else if (x > y) 1 else 0
+          if (!a.mnSet || nanSafeCmp(r.mn, a.mn) < 0) {
+            a.mn = r.mn; a.mnSet = true
+          }
+          if (!a.mxSet || nanSafeCmp(r.mx, a.mx) > 0) {
+            a.mx = r.mx; a.mxSet = true
+          }
+        }
+      }
+    }
+    // zero-fill: every group of the zone table, first-seen order —
+    // the same order groupStats' groupsDf left-join emits
+    val groupOrder = scala.collection.mutable.LinkedHashSet
+      .empty[Option[String]]
+    zones.foreach(z => groupOrder += z._2)
+    val outRows: Seq[org.apache.spark.sql.Row] =
+      groupOrder.iterator.map { g =>
+        val a = accs.getOrElse(g, new GAcc)
+        val valid = a.count - a.nodata
+        val (mnO, mxO, sdO): (Any, Any, Any) =
+          if (valid > 0) {
+            val mean = a.sum / valid
+            val variance = math.max(a.sumsq / valid - mean * mean, 0.0)
+            (if (a.mnSet) Double.box(a.mn) else null,
+              if (a.mxSet) Double.box(a.mx) else null,
+              Double.box(math.sqrt(variance)))
+          } else (null, null, null)
+        org.apache.spark.sql.Row(g.orNull, mnO, mxO, a.count, a.nodata,
+          valid, a.sum, sdO)
+      }.toSeq
+    // schema matches the Spark rollup's exactly (coalesce over a
+    // literal default makes the counters/sum non-nullable there)
+    val schema = StructType(Seq(
+      StructField("group", StringType, nullable = true),
+      StructField("min", DoubleType, nullable = true),
+      StructField("max", DoubleType, nullable = true),
+      StructField("count", LongType, nullable = false),
+      StructField("nodata_count", LongType, nullable = false),
+      StructField("valid_count", LongType, nullable = false),
+      StructField("sum", DoubleType, nullable = false),
+      StructField("stdev", DoubleType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), schema)
+  }
+
   /** numpy-default isclose, shared by kernel and fallback. */
   def isCloseTo(v: Double, target: Double): Boolean =
     math.abs(v - target) <= 1e-8 + 1e-5 * math.abs(target)
