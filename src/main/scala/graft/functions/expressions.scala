@@ -463,6 +463,78 @@ object SortedIntersectCountImpl {
   }
 }
 
+/** Dot product of two numeric arrays in float64 — the
+  * similarity-scoring primitive, replacing
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` on every
+  * cosine path. The higher-order form is codegen'd but MATERIALIZES
+  * the zipped product array per evaluation (768 boxed-slot doubles
+  * per candidate pair — the allocation driver of the SRP/embedding
+  * pair queries); this is one zero-allocation loop.
+  *
+  * Value semantics are IDENTICAL to the higher-order form
+  * (spec-pinned in FloatDotSpec): products accumulate in ascending
+  * index order starting from 0.0 (same float64 rounding), length
+  * mismatch → null (zip_with pads the shorter side with null, the
+  * null product poisons the fold), any null element → null, both
+  * empty → 0.0. */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_dot"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"float_dot expects array<float|double>, got $t")
+  }
+  // lazy: child dataTypes are only known post-analysis
+  private lazy val leftIsDouble = elemIsDouble(left)
+  private lazy val rightIsDouble = elemIsDouble(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatDotImpl.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftIsDouble, rightIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.functions.FloatDotImpl.compute(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDotImpl {
+  /** Null (boxed) on length mismatch or any null element — exactly
+    * the poisoned-fold result of the zip_with formulation. */
+  def compute(a: ArrayData, b: ArrayData, aIsDouble: Boolean,
+      bIsDouble: Boolean): java.lang.Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bIsDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
 /** XXH64 of a binary column (the tile `phash` generator). */
 case class XxHash64Bytes(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -531,4 +603,9 @@ object functions {
     * inputs — zero-allocation linear merge. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
+
+  /** Σ aᵢ·bᵢ in float64 over two `array<float|double>` columns —
+    * zero-allocation, value-identical to the zip_with/aggregate fold. */
+  def float_dot(a: Column, b: Column): Column =
+    col(FloatDot(expr(a), expr(b)))
 }

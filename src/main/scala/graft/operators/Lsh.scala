@@ -33,10 +33,24 @@ object Lsh {
     * corpus-sized exchange per ingest batch). */
   def spreadBands(banded: DataFrame,
       saltById: Boolean = true): DataFrame =
-    banded.repartition(
-      banded.sparkSession.sessionState.conf.numShufflePartitions,
+    spreadBy(banded,
       (if (saltById) Seq(col("band_key"), col("id"))
        else Seq(col("band_key"))): _*)
+
+  /** [[spreadBands]] generalized: hash-spread any frame over the
+    * session's full shuffle width on the given columns before an
+    * operation whose work is its OUTPUT (candidate generation or
+    * all-pairs scoring probing a broadcast build side). A tiny input
+    * — one scan split of a KB-sized parquet, a coalesced cached frame
+    * — otherwise runs the whole explosion on ONE task (the
+    * embedding-pair queries measured 3% busy on 32 cores). Explicit
+    * numPartitions = REPARTITION_BY_NUM, which AQE never coalesces;
+    * the width follows `spark.sql.shuffle.partitions`, so it is
+    * scale-adaptive, not a local-mode constant. */
+  def spreadBy(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      cols: _*)
 
   /** Per-bucket frequency cap for a banded (key, member) frame — the
     * winnowing `maxDocFreq` guard generalized: adversarial inputs can

@@ -10,16 +10,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the scale path: candidates shuffle on the bucket key instead of
   * materializing the O(n·m) pair space.
   *
-  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
-  * functions), folding left-to-right in float64 over the float32
-  * elements — deterministic and replicable in external SQL engines.
+  * Dot products fold left-to-right in float64 over the float32
+  * elements — deterministic and replicable in external SQL engines —
+  * via the zero-allocation [[graft.functions.FloatDot]] expression
+  * (value-identical to the `zip_with` + `aggregate` fold it replaced:
+  * that higher-order form materialized a 768-slot product array per
+  * candidate pair — the allocation driver of every pair query here).
   */
 object Similarity {
 
   /** Σ aᵢ·bᵢ in double, sequential fold (order-stable). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    graft.functions.functions.float_dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -31,13 +33,19 @@ object Similarity {
     * deterministic (score DESC, id ASC) tie-break. */
   def cosineTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are per-VECTOR, not per-pair: attach them before the join
+    // (same doubles in the same order — sqrt(norm2(q))·sqrt(norm2(c))
+    // — so scores are bit-identical) and spread the streamed side so
+    // the scoring parallelizes past the scan's single tiny split
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cv"))
+      col(vecCol).as("qv"), sqrt(norm2(col(vecCol))).as("qn"))
+    val c = Lsh.spreadBy(candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), sqrt(norm2(col(vecCol))).as("cn")),
+      col("cand_id"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -49,11 +57,16 @@ object Similarity {
     * force over a broadcastable side. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(norm2(col(vecCol))).as("nrm"))
+    val a = Lsh.spreadBy(base, col("id")).select(col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(broadcast(b))
       .where(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
@@ -143,11 +156,15 @@ object Similarity {
     val newB = srpIndex(newDf, idCol, vecCol, index.dim,
       index.numPlanes).vectors
     val all = index.vectors.unionByName(newB)
-    newB.select(col("bucket"), col("id").as("id_l"), col("v").as("vl"))
+    Lsh.spreadBy(newB, col("id"))
+      .select(col("bucket"), col("id").as("id_l"), col("v").as("vl"),
+        sqrt(norm2(col("v"))).as("nl"))
       .join(all.select(col("bucket"), col("id").as("id_r"),
-        col("v").as("vr")), Seq("bucket"))
+        col("v").as("vr"), sqrt(norm2(col("v"))).as("nr")),
+        Seq("bucket"))
       .where(col("id_l") =!= col("id_r"))
-      .withColumn("score", cosine(col("vl"), col("vr")))
+      .withColumn("score", dot(col("vl"), col("vr")) /
+        (col("nl") * col("nr")))
       .where(col("score") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("score"))
@@ -161,13 +178,15 @@ object Similarity {
       dim: Int, numPlanes: Int, threshold: Double): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
-    val a = withB.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("va"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+    val a = Lsh.spreadBy(withB, col("id")).select(col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = withB.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
   }
@@ -186,17 +205,20 @@ object Similarity {
       threshold: Double): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
     val probeKeys = array(
       (col("bucket") +:
         (0 until numPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p)))): _*)
-    val a = withB.select(col("id").as("id_a"), col("v").as("va"),
-      explode(probeKeys).as("bucket"))
+    val a = Lsh.spreadBy(withB, col("id"))
+      .select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), explode(probeKeys).as("bucket"))
     val b = withB.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
   }
@@ -298,14 +320,16 @@ object Similarity {
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     import graft.functions.functions.ivf_nearest
     val qry = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("queryv"),
+      col(vecCol).as("queryv"), sqrt(norm2(col(vecCol))).as("qn"),
       explode(ivf_nearest(col(vecCol), index.refIndex, nProbe))
         .as("list_id"))
     val scored = qry.join(index.assigned
         .select(col("list_id"), col("id").as("cand_id"),
-          col("v").as("candv")), Seq("list_id"))
+          col("v").as("candv"), sqrt(norm2(col("v"))).as("cn")),
+        Seq("list_id"))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("score", cosine(col("queryv"), col("candv")))
+      .withColumn("score", dot(col("queryv"), col("candv")) /
+        (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -352,14 +376,15 @@ object Similarity {
     import graft.functions.functions.ivf_nearest
 
     val cand = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("candv"),
+      col(vecCol).as("candv"), sqrt(norm2(col(vecCol))).as("cn"),
       element_at(ivf_nearest(col(vecCol), index, 1), 1).as("list_id"))
     val qry = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("queryv"),
+      col(vecCol).as("queryv"), sqrt(norm2(col(vecCol))).as("qn"),
       explode(ivf_nearest(col(vecCol), index, nProbe)).as("list_id"))
     val scored = qry.join(cand, Seq("list_id"))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("score", cosine(col("queryv"), col("candv")))
+      .withColumn("score", dot(col("queryv"), col("candv")) /
+        (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -381,18 +406,21 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), dim, numPlanes))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
     val bandKeys = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask))
           .as("bits"))
     }: _*)
-    val a = withB.select(col("id").as("id_a"), col("v").as("va"),
-      explode(bandKeys).as("key"))
+    val a = Lsh.spreadBy(withB, col("id"))
+      .select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), explode(bandKeys).as("key"))
     val b = withB.select(col("id").as("id_b"), col("v").as("vb"),
-      explode(bandKeys).as("key"))
+      col("nrm").as("nb"), explode(bandKeys).as("key"))
     a.join(b, Seq("key"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score").distinct()
   }

@@ -206,19 +206,46 @@ object TextOps {
       i => t.substr(i, lit(n))))
   }
 
-  /** All (a<b) pairs with n-gram Jaccard >= minJaccard. */
+  /** All (a<b) pairs with n-gram Jaccard >= minJaccard.
+    *
+    * The labeled exact all-pairs baseline — but its per-pair cost is
+    * engineered like the LSH verify path (r8): shingle STRING sets
+    * are dictionary-encoded ONCE per document into sorted distinct
+    * `array<long>` (xxhash64 — 8 fixed bytes per shingle, no string
+    * payloads through the join), so each pair costs one zero-alloc
+    * [[graft.functions.SortedIntersectCount]] merge instead of
+    * `array_intersect`+`array_union` each building a boxed
+    * `OpenHashSet[Any]` of UTF8Strings (measured 277 s for 12.5M
+    * pairs at sf0.1, single task). |A∪B| = |A|+|B|−|A∩B| for the
+    * distinct arrays. Jaccard over the hashed sets equals Jaccard
+    * over the string sets unless two distinct shingles of one
+    * compared pair collide in 64 bits (birthday ≈ k²/2⁶⁵ per doc —
+    * vanishing, and the same documented acceptance as
+    * [[tokenHashSet]]'s 60-bit encoding; JaccardPairsSpec pins
+    * equality against the literal string-set formulation).
+    *
+    * The size-ratio prefilter is EXACT, not a heuristic:
+    * |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    * J ≤ min/max < minJaccard whenever the guard fails — it only
+    * skips the merge for pairs the threshold already excludes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxChars: Int, minJaccard: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"),
-      ngramShingles(col(textCol), n, maxChars).as("sh_a"))
-    val b = df.select(col(idCol).as("id_b"),
-      ngramShingles(col(textCol), n, maxChars).as("sh_b"))
+    val hs = array_sort(array_distinct(transform(
+      ngramShingles(col(textCol), n, maxChars), s => xxhash64(s))))
+    val base = df.select(col(idCol).as("id"), hs.as("hs"),
+      size(hs).as("sz"))
+    val a = Lsh.spreadBy(base, col("id")).select(col("id").as("id_a"),
+      col("hs").as("ha"), col("sz").as("sa"))
+    val b = base.select(col("id").as("id_b"), col("hs").as("hb"),
+      col("sz").as("sb"))
     a.crossJoin(broadcast(b))
       .where(col("id_a") < col("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(least(col("sa"), col("sb")).cast("double") >=
+        lit(minJaccard) * greatest(col("sa"), col("sb")).cast("double"))
+      .withColumn("inter", graft.functions.functions
+        .sorted_intersect_count(col("ha"), col("hb")).cast("double"))
       .withColumn("uni",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (col("sa") + col("sb")).cast("double") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
