@@ -38,6 +38,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs shuffle.partitions near-empty tasks per branch. Scale-neutral
   // (it ADAPTS to stats rather than encoding local core counts).
   "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
+  // Spark 4.1 writes a paired checksum file for EVERY streaming state
+  // checkpoint file, and every state-store commit synchronously awaits
+  // that second write through a small fixed pool
+  // (ChecksumCheckpointFileManager.awaitResult — thread dumps show all
+  // 64 state tasks of each micro-batch parked there; q_stream_sigdedup
+  // spent 0.58 s/task on ~10-row state partitions, 16 s/run). The
+  // sandbox's local-disk checkpoints gain nothing from double-write
+  // integrity files (object stores checksum server-side; local disks
+  // have ECC), so keep 4.0 semantics. Scale-neutral: the cost removed
+  // is a fixed per-(task × batch) fsync round-trip, worst exactly
+  // where state partitions outnumber state rows.
+  "-Dspark.sql.streaming.checkpoint.fileChecksum.enabled=false",
+  // The default FileContext-based checkpoint manager is symlink-aware:
+  // on the local filesystem every getFileStatus FORKS a `readlink`
+  // shell process (RawLocalFileSystem.deprecatedGetFileLinkStatusInternal
+  // — thread dumps show state tasks runnable in ProcessImpl.forkAndExec),
+  // thousands of forks per streaming run. The FileSystem-based manager
+  // stats files in-process; rename atomicity is identical on
+  // POSIX/HDFS (object-store deployments configure their own manager
+  // per store, as upstream docs describe).
+  "-Dspark.sql.streaming.checkpointFileManagerClass=" +
+    "org.apache.spark.sql.execution.streaming.checkpointing." +
+    "FileSystemBasedCheckpointFileManager",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // image decode allocates heavily across 32 executor threads;
   // ParallelGC sustains ~2x the allocation throughput of G1 here

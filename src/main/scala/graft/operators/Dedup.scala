@@ -86,9 +86,19 @@ object Dedup {
     // producer's output — and RE-ROOT it, or every round's two joins
     // drag the producer's whole logical plan (an LSH pipeline can be
     // dozens of operators deep) back through analysis/optimization:
-    // measured 6.7 s/round planning vs ~0.3 s with the LogicalRDD root
-    val adj0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // measured 6.7 s/round planning vs ~0.3 s with the LogicalRDD root.
+    // Both edge directions come from ONE explode over each producer
+    // row, not union(edges, edges.swapped): the union's two branches
+    // each re-ran the full producer pipeline (an LSH band join + pair
+    // scoring — measured 2× ~40 CPU-s on the embedding cluster query,
+    // the whole candidate explosion twice), where the explode pays one
+    // producer pass plus a 2-element array per row. Same rows — the
+    // swap is column renaming, null ids included — so distinct() and
+    // everything downstream are unchanged.
+    val adj0 = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     // a failing edge-producer job must not strand the partly-pinned
