@@ -66,8 +66,6 @@ object ZonalStats {
     val px = ImageCodec.decodeTL(bytes, fmt)
     val col0 = tc * grid.tileW
     val row0 = tr * grid.tileH
-    val gf = zoneGeomFactory
-    val tileGeom = gf.toGeometry(env)
     val out = new scala.collection.mutable.ArrayBuffer[FidPartial](cands.length)
     // nodata predicate hoisted out of the pixel loop: the Option unbox
     // and the tolerance term are loop-invariant (same isclose formula,
@@ -89,8 +87,7 @@ object ZonalStats {
       if (gc0 <= gc1 && gr0 <= gr1) {
         val fullTile = gc0 == col0 && gc1 == col0 + grid.tileW - 1 &&
           gr0 == row0 && gr1 == row0 + grid.tileH - 1
-        val coversTile = fullTile &&
-          idx.preparedTL(zi).containsProperly(tileGeom)
+        val coversTile = fullTile && idx.coversRect(zi, env)
         // scanline rasterization (GDAL-style): per pixel row, compute
         // the polygon's x-crossings and fill whole center-intervals —
         // O(rows × edges), no per-pixel point-in-polygon
@@ -187,7 +184,6 @@ object ZonalStats {
     val nPx = grid.tileW * grid.tileH
     val owner = new Array[Int](nPx)
     java.util.Arrays.fill(owner, -1)
-    val tileGeom = zoneGeomFactory.toGeometry(env)
     val x0g = grid.gt.x0; val pxw = grid.gt.px
 
     var ci = 0
@@ -201,8 +197,7 @@ object ZonalStats {
       if (gc0 <= gc1 && gr0 <= gr1) {
         val fullTile = gc0 == col0 && gc1 == col0 + grid.tileW - 1 &&
           gr0 == row0 && gr1 == row0 + grid.tileH - 1
-        val coversTile = fullTile &&
-          idx.preparedTL(zi).containsProperly(tileGeom)
+        val coversTile = fullTile && idx.coversRect(zi, env)
         val xbuf = if (coversTile) null else new Array[Double](idx.maxEdges(zi))
         var gr = gr0
         while (gr <= gr1) {
@@ -292,8 +287,6 @@ object ZonalStats {
       }
     }
   }
-
-  private val zoneGeomFactory = new org.locationtech.jts.geom.GeometryFactory()
 
   /** Tile scan → per-(tile,fid) partials. `tiles` must have columns
     * (image_id, bytes, fmt); only those three reach the generator so

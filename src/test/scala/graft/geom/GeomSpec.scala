@@ -97,6 +97,84 @@ class WindowMathSpec extends AnyFunSuite {
 }
 
 class ZoneIndexSpec extends AnyFunSuite {
+  test("coversRect equals prepared containsProperly (r8 kernel fast path)") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val rnd = new scala.util.Random(23)
+    // zone shapes that exercise every branch: axis-aligned rects
+    // (edges can coincide with probe rects), random convex-ish
+    // polygons, a polygon with a hole, a multipolygon
+    def randPoly(): org.locationtech.jts.geom.Geometry = {
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 30
+      val n = 5 + rnd.nextInt(6)
+      val pts = (0 until n).map { k =>
+        val a = 2 * math.Pi * k / n
+        val rr = r * (0.6 + 0.4 * rnd.nextDouble())
+        new org.locationtech.jts.geom.Coordinate(
+          cx + rr * math.cos(a), cy + rr * math.sin(a))
+      }
+      gf.createPolygon((pts :+ pts.head).toArray)
+    }
+    val holed = {
+      val shell = gf.createLinearRing(Array(
+        new org.locationtech.jts.geom.Coordinate(10, 10),
+        new org.locationtech.jts.geom.Coordinate(90, 10),
+        new org.locationtech.jts.geom.Coordinate(90, 90),
+        new org.locationtech.jts.geom.Coordinate(10, 90),
+        new org.locationtech.jts.geom.Coordinate(10, 10)))
+      val hole = gf.createLinearRing(Array(
+        new org.locationtech.jts.geom.Coordinate(40, 40),
+        new org.locationtech.jts.geom.Coordinate(60, 40),
+        new org.locationtech.jts.geom.Coordinate(60, 60),
+        new org.locationtech.jts.geom.Coordinate(40, 60),
+        new org.locationtech.jts.geom.Coordinate(40, 40)))
+      gf.createPolygon(shell, Array(hole))
+    }
+    val zones = (Seq(
+      Zone.rect(0, "r", 20, 20, 80, 80).geom,
+      Zone.rect(1, "r", 0, 0, 32, 32).geom, // probe-aligned edges
+      holed,
+      gf.createMultiPolygon(Array(
+        gf.createPolygon(Array(
+          new org.locationtech.jts.geom.Coordinate(0, 0),
+          new org.locationtech.jts.geom.Coordinate(30, 0),
+          new org.locationtech.jts.geom.Coordinate(30, 30),
+          new org.locationtech.jts.geom.Coordinate(0, 30),
+          new org.locationtech.jts.geom.Coordinate(0, 0))),
+        gf.createPolygon(Array(
+          new org.locationtech.jts.geom.Coordinate(60, 60),
+          new org.locationtech.jts.geom.Coordinate(95, 60),
+          new org.locationtech.jts.geom.Coordinate(95, 95),
+          new org.locationtech.jts.geom.Coordinate(60, 95),
+          new org.locationtech.jts.geom.Coordinate(60, 60))))))
+      ++ (0 until 8).map(_ => randPoly()))
+      .zipWithIndex.map { case (g, i) => Zone(i.toLong, s"z$i", g) }
+    val idx = new ZoneIndex(zones.toArray)
+    val prep = zones.map(z =>
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory
+        .prepare(z.geom))
+    var checked = 0; var covered = 0
+    // probe rects: a regular tile-like lattice (8x8 rects) plus
+    // random rects of varied size — includes rects sharing edges with
+    // zone 1's boundary and rects inside the hole
+    val probes =
+      (for (rx <- 0 until 13; ry <- 0 until 13)
+        yield new org.locationtech.jts.geom.Envelope(
+          rx * 8.0, rx * 8.0 + 8.0, ry * 8.0, ry * 8.0 + 8.0)) ++
+      (0 until 300).map { _ =>
+        val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+        val w = rnd.nextDouble() * 25; val h = rnd.nextDouble() * 25
+        new org.locationtech.jts.geom.Envelope(x, x + w, y, y + h)
+      }
+    for (env <- probes; i <- zones.indices) {
+      val want = prep(i).containsProperly(gf.toGeometry(env))
+      val got = idx.coversRect(i, env)
+      assert(got == want, s"zone $i env $env want=$want got=$got")
+      checked += 1; if (want) covered += 1
+    }
+    assert(checked > 0 && covered > 50) // both outcomes exercised
+  }
+
   test("candidates + locator agree with brute-force contains") {
     val grid = RasterGrid(GeoTransform(-180.0, 2.8125, 0.0, 90.0, 0.0,
       -1.40625), 128, 128, 16, 16)
